@@ -1,0 +1,49 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+This must run before jax is imported anywhere, so it lives at conftest
+import time.  It exercises the same Mesh/shard_map code paths as a real
+multi-chip TPU slice (SURVEY.md §4 implication (d)).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_DATA = pathlib.Path("/root/reference/data")
+REFERENCE_OUTPUT = pathlib.Path("/root/reference/output")
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    if not REFERENCE_DATA.exists():
+        pytest.skip("reference dataset not available")
+    return str(REFERENCE_DATA)
+
+
+@pytest.fixture(scope="session")
+def output_dir():
+    if not REFERENCE_OUTPUT.exists():
+        pytest.skip("reference output not available")
+    return str(REFERENCE_OUTPUT)
+
+
+@pytest.fixture(scope="session")
+def sequence(data_dir):
+    from tpuvo.data import load_sequence
+
+    return load_sequence(data_dir, n_frames=121)
+
+
+@pytest.fixture(scope="session")
+def world(data_dir):
+    from tpuvo.data import load_world_points
+
+    return load_world_points(os.path.join(data_dir, "world.dat"))

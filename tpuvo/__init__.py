@@ -1,0 +1,27 @@
+"""tpuvo — TPU-native visual odometry / SfM engine.
+
+A brand-new JAX/XLA/Pallas implementation of the capabilities of the
+reference C++ pipeline (llepa/02-VisualOdometry): descriptor matching,
+essential-matrix bootstrap, DLT triangulation, projective-ICP tracking
+(Gauss-Newton on SE(3)), incremental mapping, Sim(3) trajectory alignment —
+plus a sharded sliding-window bundle-adjustment layer the reference lacks.
+
+Design rules (TPU-first, not a port):
+  * all state lives in fixed-capacity padded arrays (static shapes for XLA);
+  * every per-point loop in the reference is a vmap/mask here;
+  * the whole per-frame tracking step compiles to one XLA program
+    (`lax.scan` over the sequence — zero host round-trips);
+  * multi-chip scaling via `jax.sharding.Mesh` + `shard_map` collectives.
+"""
+
+from tpuvo.config import EngineConfig, MatcherConfig, PICPConfig, RansacConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EngineConfig",
+    "MatcherConfig",
+    "PICPConfig",
+    "RansacConfig",
+    "__version__",
+]

@@ -1,0 +1,202 @@
+"""Typed configuration for the whole engine.
+
+The reference hard-codes every constant (intrinsics at ``cam.cpp:11-31``,
+matcher thresholds at ``my_utilities.h:44-47``, kernel thresholds 3000/1000/100
+at ``icp_test.cpp:86`` / ``cam.cpp:183`` / ``my_utilities.cpp:279``, damping 1
+at ``picp_solver.cpp:11``, GN schedule at ``icp_test.cpp:88-91``) and ships a
+``data/camera.dat`` config file that no code reads.  Here every one of those
+constants is a named field with the reference value as default, and
+``camera.dat`` is actually parsed (`EngineConfig.from_camera_dat`).
+
+``parity`` mode preserves the reference's deliberate quirks (unwrapped
+rotation error with a +pi/2 offset, ``icp_test.cpp:177-191``; ignored 0.2 m
+camera x-offset, ``cam.cpp:18-26``); ``fixed`` mode corrects them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Static capacities (XLA needs static shapes; everything is padded + masked).
+# ---------------------------------------------------------------------------
+DESC_DIM = 10          # descriptor length (my_utilities.cpp:94)
+MAX_OBS = 128          # max observations per frame (dataset max is 127, frame 0)
+MAP_CAPACITY = 512     # landmark map capacity (reference map grows to 490)
+N_GT_LANDMARKS = 1000  # world.dat size
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Brute-force descriptor matcher thresholds (my_utilities.h:44-47)."""
+
+    distance_threshold: float = 0.2   # squared-L2 acceptance (DISTANCE_THRESHOLD)
+    ratio_threshold: float = 0.8      # Lowe's ratio test (RATIO_THRESHOLD)
+
+
+@dataclass(frozen=True)
+class PICPConfig:
+    """Projective-ICP Gauss-Newton schedule.
+
+    Defaults follow the canonical ``icp_test`` driver: kernel threshold 3000
+    (icp_test.cpp:86), <=50 iterations with relative-chi convergence 1e-5
+    (icp_test.cpp:88-91), damping 1 and min_num_inliers 0 from the solver
+    ctor (picp_solver.cpp:8-15).
+    """
+
+    kernel_threshold: float = 3000.0
+    damping: float = 1.0
+    max_iterations: int = 50
+    convergence_threshold: float = 1e-5
+    min_num_inliers: int = 0
+    keep_outliers: bool = False
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Essential-matrix RANSAC (replaces cv::findEssentialMat, cam.cpp:49-54).
+
+    The reference calls OpenCV with library defaults (its locally declared
+    threshold/confidence vars are never passed in); OpenCV defaults are
+    threshold=1.0 px, prob=0.999.  We run a fixed-size batch of vmapped
+    8-point minimal solves under a deterministic JAX PRNG (the analog of
+    ``cv::setRNGSeed(42)``, cam.cpp:40).
+    """
+
+    num_hypotheses: int = 512       # batch of minimal solves (static shape)
+    sample_size: int = 8            # 8-point algorithm
+    inlier_threshold_px: float = 1.0
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window bundle adjustment (new layer; no reference counterpart)."""
+
+    window: int = 10                 # keyframes per window (BASELINE.json config)
+    max_landmarks: int = MAP_CAPACITY
+    max_obs_per_frame: int = MAX_OBS
+    iterations: int = 10
+    damping: float = 1.0e-3
+    huber_threshold: float = 3000.0  # same saturating kernel as PICP
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Full engine configuration.
+
+    Camera defaults replicate ``cam.cpp:10-35``: K = [[180,0,320],[0,180,240],
+    [0,0,1]], 640x480 image, z in (0, 5], plus the camera->world axis remap
+    ``cameraToImageTransform`` (cam.cpp:18-26).  ``data/camera.dat`` also
+    specifies a 0.2 m x-offset that the reference silently drops; in
+    ``parity`` mode we drop it too.
+    """
+
+    fx: float = 180.0
+    fy: float = 180.0
+    cx: float = 320.0
+    cy: float = 240.0
+    width: int = 640
+    height: int = 480
+    z_near: float = 0.0
+    z_far: float = 5.0
+    # camera->world axis remap (cam.cpp:18-26): m[0,2]=1, m[1,0]=-1, m[2,1]=-1
+    cam_to_image_rotation: Tuple[Tuple[float, float, float], ...] = (
+        (0.0, 0.0, 1.0),
+        (-1.0, 0.0, 0.0),
+        (0.0, -1.0, 0.0),
+    )
+    # translation part of cam_transform from camera.dat (ignored in parity mode)
+    cam_to_image_translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    n_frames: int = 121
+    max_obs: int = MAX_OBS
+    map_capacity: int = MAP_CAPACITY
+    desc_dim: int = DESC_DIM
+
+    mode: str = "parity"  # "parity" | "fixed"
+
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    picp: PICPConfig = field(default_factory=PICPConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+
+    # ---- derived ---------------------------------------------------------
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+    def cam_to_image(self) -> np.ndarray:
+        """4x4 camera->world axis remap (cam.cpp:18-26, cam.cpp:234-236)."""
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array(self.cam_to_image_rotation, dtype=np.float32)
+        if self.mode == "fixed":
+            T[:3, 3] = np.array(self.cam_to_image_translation, dtype=np.float32)
+        return T
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ---- camera.dat parsing ---------------------------------------------
+    @staticmethod
+    def from_camera_dat(path: str, **overrides) -> "EngineConfig":
+        """Parse ``data/camera.dat`` (the reference never reads it).
+
+        Format::
+
+            camera matrix:
+            <3x3>
+            cam_transform:
+            <4x4>
+            z_near: <f>
+            z_far:  <f>
+            width:  <i>
+            height: <i>
+        """
+        with open(path) as f:
+            text = f.read()
+        nums = lambda line: [float(x) for x in line.split()]
+
+        lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+        K_rows, T_rows = [], []
+        scalars = {}
+        i = 0
+        while i < len(lines):
+            ln = lines[i]
+            if ln.startswith("camera matrix"):
+                K_rows = [nums(lines[i + j]) for j in (1, 2, 3)]
+                i += 4
+            elif ln.startswith("cam_transform"):
+                T_rows = [nums(lines[i + j]) for j in (1, 2, 3, 4)]
+                i += 5
+            else:
+                m = re.match(r"(\w+):\s*(-?[\d.]+)", ln)
+                if m:
+                    scalars[m.group(1)] = float(m.group(2))
+                i += 1
+        K = np.array(K_rows, dtype=np.float32)
+        T = np.array(T_rows, dtype=np.float32)
+        cfg = dict(
+            fx=float(K[0, 0]),
+            fy=float(K[1, 1]),
+            cx=float(K[0, 2]),
+            cy=float(K[1, 2]),
+            width=int(scalars.get("width", 640)),
+            height=int(scalars.get("height", 480)),
+            z_near=float(scalars.get("z_near", 0.0)),
+            z_far=float(scalars.get("z_far", 5.0)),
+            cam_to_image_rotation=tuple(tuple(float(v) for v in row[:3]) for row in T[:3]),
+            cam_to_image_translation=tuple(float(row[3]) for row in T[:3]),
+        )
+        cfg.update(overrides)
+        return EngineConfig(**cfg)
+
+
+DEFAULT_CONFIG = EngineConfig()
