@@ -7,10 +7,15 @@ multi-chip TPU slice (SURVEY.md §4 implication (d)).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The environment pins JAX_PLATFORMS to the TPU plugin; config.update after
+# import is the reliable way to force CPU for the test suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
