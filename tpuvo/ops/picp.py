@@ -1,0 +1,182 @@
+"""Projective-ICP: Gauss-Newton on SE(3) with a saturating robust kernel.
+
+Replaces pr::PICPSolver (src/picp_solver.cpp:26-105).  Reference semantics,
+per correspondence (image point z_i, world point X_j):
+
+  * residual  e = pi(K · T · X) - z          (picp_solver.cpp:33-35)
+  * Jacobian  J = Jp · K · Jr with Jr = [I | skew(-p_cam)] (3x6) and Jp the
+    2x3 perspective derivative                (picp_solver.cpp:37-53)
+  * chi = e·e; if chi > kernel_threshold the point is an *outlier* with
+    weight lambda = sqrt(thr/chi), else an inlier with lambda = 1
+                                              (picp_solver.cpp:74-84)
+  * outliers are excluded from H, b unless keep_outliers
+                                              (picp_solver.cpp:86-89)
+  * H += damping·I;  dx = solve(H, -b);  T <- v2tEuler(dx) · T
+    (left-multiplicative Euler update)        (picp_solver.cpp:96-103)
+  * skip the update when num_inliers < min_num_inliers
+                                              (picp_solver.cpp:97-100)
+
+The driver loop (icp_test.cpp:88-107) runs <= 50 rounds and stops when the
+relative improvement of chi_inliers drops below 1e-5 (checked *after* the
+update, with prev initialized to FLT_MAX).
+
+TPU-first: every ``continue`` above is a weight-0 mask; H and b are fused
+einsum reductions over the correspondence batch; the whole GN loop is a
+``lax.while_loop`` inside one jitted program — zero host round-trips per
+frame.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuvo.config import PICPConfig
+from tpuvo.ops import lie
+from tpuvo.ops.camera import project_points_with_cam
+
+FLT_MAX = jnp.float32(3.4028235e38)
+
+
+class Linearization(NamedTuple):
+    H: jnp.ndarray            # (6, 6)
+    b: jnp.ndarray            # (6,)
+    num_inliers: jnp.ndarray  # () int32
+    chi_inliers: jnp.ndarray  # () float32
+    chi_outliers: jnp.ndarray # () float32
+
+
+class PICPResult(NamedTuple):
+    T: jnp.ndarray             # (4, 4) final world-in-camera pose
+    num_inliers: jnp.ndarray   # () int32 — from the last linearization
+    chi_inliers: jnp.ndarray   # () float32
+    chi_outliers: jnp.ndarray  # () float32
+    iterations: jnp.ndarray    # () int32 — rounds actually executed
+    converged: jnp.ndarray     # () bool
+
+
+def linearize(
+    K,
+    T,
+    world_pts,
+    image_uv,
+    corr_idx,
+    corr_valid,
+    width: int,
+    height: int,
+    kernel_threshold: float,
+    keep_outliers: bool = False,
+) -> Linearization:
+    """Masked batch linearization (the reference's per-point loop,
+    picp_solver.cpp:56-91, as one fused pass).
+
+    world_pts: (M, 3) map positions; image_uv: (N, 2) measurements;
+    corr_idx: (N,) index into world_pts for each measurement;
+    corr_valid: (N,) correspondence mask.
+    """
+    X = world_pts[corr_idx]  # (N, 3)
+    uv, proj_ok, p_cam, phom = project_points_with_cam(K, T, X, width, height)
+    e = uv - image_uv  # (N, 2)
+
+    # Jr = [ I3 | skew(-p_cam) ]  (N, 3, 6)
+    N = X.shape[0]
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (N, 3, 3))
+    Jr = jnp.concatenate([I3, lie.skew(-p_cam)], axis=-1)
+
+    iz = 1.0 / jnp.where(jnp.abs(phom[:, 2]) > 1e-12, phom[:, 2], 1.0)
+    iz2 = iz * iz
+    zero = jnp.zeros_like(iz)
+    Jp = jnp.stack(
+        [
+            jnp.stack([iz, zero, -phom[:, 0] * iz2], -1),
+            jnp.stack([zero, iz, -phom[:, 1] * iz2], -1),
+        ],
+        -2,
+    )  # (N, 2, 3)
+    J = jnp.einsum("nij,jk,nkl->nil", Jp, K, Jr)  # (N, 2, 6)
+
+    chi = jnp.sum(e * e, -1)
+    valid = corr_valid & proj_ok
+    is_inlier = chi <= kernel_threshold
+    lam = jnp.where(is_inlier, 1.0, jnp.sqrt(kernel_threshold / jnp.maximum(chi, 1e-20)))
+    contrib = valid & (is_inlier if not keep_outliers else jnp.ones_like(is_inlier))
+    w = lam * contrib.astype(X.dtype)
+
+    H = jnp.einsum("nki,nkj,n->ij", J, J, w)
+    b = jnp.einsum("nki,nk,n->i", J, e, w)
+    num_inliers = jnp.sum(valid & is_inlier).astype(jnp.int32)
+    chi_in = jnp.sum(chi * (valid & is_inlier))
+    chi_out = jnp.sum(chi * (valid & ~is_inlier))
+    return Linearization(H, b, num_inliers, chi_in, chi_out)
+
+
+def one_round(
+    K, T, world_pts, image_uv, corr_idx, corr_valid,
+    width: int, height: int, cfg: PICPConfig,
+):
+    """One GN round (picp_solver.cpp:93-105). Returns (T', Linearization, ok)."""
+    lin = linearize(
+        K, T, world_pts, image_uv, corr_idx, corr_valid,
+        width, height, cfg.kernel_threshold, cfg.keep_outliers,
+    )
+    H = lin.H + cfg.damping * jnp.eye(6, dtype=lin.H.dtype)
+    ok = lin.num_inliers >= cfg.min_num_inliers
+    c, low = jax.scipy.linalg.cho_factor(H)
+    dx = jax.scipy.linalg.cho_solve((c, low), -lin.b)
+    T_new = lie.v2t_euler(dx) @ T
+    T_out = jnp.where(ok, T_new, T)
+    return T_out, lin, ok
+
+
+def solve(
+    K, T_init, world_pts, image_uv, corr_idx, corr_valid,
+    width: int, height: int, cfg: PICPConfig,
+) -> PICPResult:
+    """Full GN loop with the icp_test stopping rule (icp_test.cpp:88-107),
+    compiled as a single lax.while_loop."""
+
+    def cond(carry):
+        T, prev, it, done, *_ = carry
+        return (~done) & (it < cfg.max_iterations)
+
+    def body(carry):
+        T, prev, it, done, _n, _ci, _co, _conv = carry
+        T2, lin, ok = one_round(
+            K, T, world_pts, image_uv, corr_idx, corr_valid, width, height, cfg
+        )
+        curr = lin.chi_inliers
+        rel = jnp.where(prev > 1e-10, jnp.abs(prev - curr) / prev, 0.0)
+        converged = ok & (rel < cfg.convergence_threshold)
+        done2 = (~ok) | converged
+        return (T2, curr, it + 1, done2, lin.num_inliers, lin.chi_inliers,
+                lin.chi_outliers, converged)
+
+    init = (
+        T_init, FLT_MAX, jnp.int32(0), jnp.bool_(False),
+        jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0), jnp.bool_(False),
+    )
+    T, _prev, it, _done, n_in, chi_in, chi_out, conv = jax.lax.while_loop(cond, body, init)
+    return PICPResult(T, n_in, chi_in, chi_out, it, conv)
+
+
+def solve_fixed_rounds(
+    K, T_init, world_pts, image_uv, corr_idx, corr_valid,
+    width: int, height: int, cfg: PICPConfig, rounds: int = 5,
+):
+    """The Cam::oneRound variant: exactly ``rounds`` GN rounds, no
+    convergence check (cam.cpp:214-216, used by the vo.cpp driver)."""
+
+    def body(_, carry):
+        T, *_ = carry
+        T2, lin, ok = one_round(
+            K, T, world_pts, image_uv, corr_idx, corr_valid, width, height, cfg
+        )
+        return (T2, lin.num_inliers, lin.chi_inliers, lin.chi_outliers)
+
+    T, n_in, chi_in, chi_out = jax.lax.fori_loop(
+        0, rounds, body,
+        (T_init, jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0)),
+    )
+    return PICPResult(T, n_in, chi_in, chi_out, jnp.int32(rounds), jnp.bool_(True))
