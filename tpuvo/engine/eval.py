@@ -1,0 +1,124 @@
+"""Trajectory evaluation + artifact writing (icp_test.cpp:141-213 semantics).
+
+Post-processing of a tracked sequence:
+  * remap camera-frame poses to world axes: pose <- cameraToImage · pose
+    (icp_test.cpp:141-143, cam.cpp:234-236)
+  * Sim(3) Umeyama alignment of estimated vs GT translations
+    (my_utilities.cpp:459-478); scale = |linear.col(0)| (icp_test.cpp:169)
+  * per-frame errors: translation = |scale·t_est - t_gt|; rotation in
+    ``parity`` mode = |yaw + pi/2 - yaw_gt| with NO angle wrapping (the
+    reference's flawed formula, icp_test.cpp:177-191), and additionally the
+    corrected wrapped metric (BASELINE.md anchoring plan)
+  * output files bit-compatible in format with the reference's
+    estimated_trajectory{,_scaled}.txt / errors.txt /
+    estimated_world_points.txt (icp_test.cpp:147-210)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvo.config import EngineConfig
+from tpuvo.ops import lie
+
+
+class EvalResult(NamedTuple):
+    poses_world: np.ndarray     # (F, 4, 4) axis-remapped estimated poses
+    gt_T: np.ndarray            # (F, 4, 4) augmented GT poses
+    scale: float                # recovered Sim(3) scale
+    align_T: np.ndarray         # (4, 4) full Umeyama similarity
+    angles: np.ndarray          # (F,) estimated heading (+pi/2 offset applied)
+    angles_gt: np.ndarray       # (F,)
+    trans_err: np.ndarray       # (F,) |scale*t_est - t_gt| (reference metric)
+    rot_err_parity: np.ndarray  # (F,) unwrapped |angle - angle_gt|
+    rot_err_fixed: np.ndarray   # (F,) wrapped to (-pi, pi]
+    ate_rmse: float             # RMSE after full Sim(3) alignment
+
+
+def evaluate(poses, gt_xyt, cfg: EngineConfig | None = None) -> EvalResult:
+    """poses: (F, 4, 4) camera-in-world (camera-0 frame); gt_xyt: (F, 3)."""
+    cfg = cfg or EngineConfig()
+    poses = np.asarray(poses)
+    F = poses.shape[0]
+    cam_to_image = cfg.cam_to_image()
+    poses_world = np.einsum("ij,fjk->fik", cam_to_image, poses)
+    gt_T = np.asarray(lie.augment_pose(jnp.asarray(gt_xyt)))
+
+    est_t = poses_world[:, :3, 3]
+    gt_t = gt_T[:, :3, 3]
+    align_T = np.asarray(lie.umeyama(jnp.asarray(est_t), jnp.asarray(gt_t)))
+    scale = float(np.linalg.norm(align_T[:3, 0]))
+
+    angles = np.arctan2(poses_world[:, 1, 0], poses_world[:, 0, 0]) + np.pi / 2.0
+    angles_gt = np.arctan2(gt_T[:, 1, 0], gt_T[:, 0, 0])
+
+    scaled_t = est_t * scale
+    trans_err = np.linalg.norm(scaled_t - gt_t, axis=1)
+    rot_err_parity = np.abs(angles - angles_gt)
+    rot_err_fixed = np.abs(
+        np.asarray(lie.wrap_angle(jnp.asarray(angles - angles_gt)))
+    )
+
+    aligned = est_t @ align_T[:3, :3].T + align_T[:3, 3]
+    ate_rmse = float(np.sqrt(np.mean(np.sum((aligned - gt_t) ** 2, axis=1))))
+
+    return EvalResult(
+        poses_world, gt_T, scale, align_T, angles, angles_gt,
+        trans_err, rot_err_parity, rot_err_fixed, ate_rmse,
+    )
+
+
+def world_points_output(state, cfg: EngineConfig, scale: float):
+    """Replicates the estimated_world_points.txt dump (icp_test.cpp:196-210):
+    for each id in [0, 1000), the FIRST map entry with that id_real, axis
+    remapped and scaled.  Returns (ids (M,), points (M, 3)) sorted by id."""
+    cam_to_image = cfg.cam_to_image()
+    ids = np.asarray(state.map_id_real)
+    xyz = np.asarray(state.map_xyz)
+    valid = np.asarray(state.map_valid)
+    out_ids, out_pts = [], []
+    for wid in range(1000):
+        hits = np.nonzero(valid & (ids == wid))[0]
+        if len(hits):
+            p = xyz[hits[0]]
+            q = cam_to_image[:3, :3] @ p * scale + cam_to_image[:3, 3]
+            out_ids.append(wid)
+            out_pts.append(q)
+    return np.asarray(out_ids, np.int32), np.asarray(out_pts, np.float32)
+
+
+def write_outputs(out_dir: str, result: EvalResult, state=None, cfg=None):
+    """Write the four reference-format artifacts (icp_test.cpp:147-210)."""
+    os.makedirs(out_dir, exist_ok=True)
+    F = result.poses_world.shape[0]
+    est_t = result.poses_world[:, :3, 3]
+    with open(os.path.join(out_dir, "estimated_trajectory.txt"), "w") as f_raw, open(
+        os.path.join(out_dir, "estimated_trajectory_scaled.txt"), "w"
+    ) as f_scl, open(os.path.join(out_dir, "errors.txt"), "w") as f_err:
+        for j in range(F):
+            a = result.angles[j]
+            f_raw.write(f"{j} {est_t[j,0]:g} {est_t[j,1]:g} {a:g}\n")
+            st = est_t[j] * result.scale
+            f_scl.write(f"{j} {st[0]:g} {st[1]:g} {a:g}\n")
+            f_err.write(f"{j} {result.trans_err[j]:g} {result.rot_err_parity[j]:g}\n")
+    if state is not None:
+        ids, pts = world_points_output(state, cfg or EngineConfig(), result.scale)
+        with open(os.path.join(out_dir, "estimated_world_points.txt"), "w") as f:
+            for wid, p in zip(ids, pts):
+                f.write(f"{wid} {p[0]:g} {p[1]:g} {p[2]:g}\n")
+
+
+def metrics_dict(result: EvalResult) -> dict:
+    return {
+        "scale": result.scale,
+        "ate_rmse": result.ate_rmse,
+        "trans_err_mean": float(result.trans_err.mean()),
+        "trans_err_max": float(result.trans_err.max()),
+        "trans_err_final": float(result.trans_err[-1]),
+        "rot_err_parity_mean": float(result.rot_err_parity.mean()),
+        "rot_err_fixed_mean": float(result.rot_err_fixed.mean()),
+    }

@@ -1,0 +1,221 @@
+"""The VO engine: bootstrap + per-frame tracking, fully on-device.
+
+Replicates the canonical ``icp_test`` pipeline (exec/icp_test.cpp:17-136):
+
+  bootstrap (frames 0, 1):
+    match 2D-2D -> essential-matrix RANSAC -> recoverPose -> DLT
+    triangulation of *all* matches into the initial map
+    (icp_test.cpp:40-58; the estimated bootstrap pose is NOT pushed to the
+    trajectory — poses stay [Identity], icp_test.cpp:59)
+
+  per frame i in [0, 120):
+    match frame i+1 vs map (2D-3D)            icp_test.cpp:75
+    PICP from the previous pose, kernel 3000  icp_test.cpp:79-111
+    match frame i vs frame i+1 (2D-2D)        icp_test.cpp:122
+    triangulate matches not yet in the map    icp_test.cpp:124-132
+    append new landmarks (first-view descriptor/ids, cam.cpp:122-139)
+
+TPU-first: the tracking loop is ONE ``lax.scan`` over the whole sequence —
+the entire 121-frame run compiles to a single XLA program with zero host
+round-trips.  Map growth is a masked scatter into preallocated slots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuvo.config import EngineConfig
+from tpuvo.engine.state import FrameLog, VOState, empty_state
+from tpuvo.ops import lie, picp, triangulate, twoview
+from tpuvo.ops.match import match_descriptors
+
+
+class Frame(NamedTuple):
+    """One frame's padded observations (device-side slice of the sequence)."""
+
+    uv: jnp.ndarray       # (N, 2)
+    desc: jnp.ndarray     # (N, D)
+    id_meas: jnp.ndarray  # (N,)
+    id_real: jnp.ndarray  # (N,)
+    valid: jnp.ndarray    # (N,)
+
+
+def frame_of(seq, i: int) -> Frame:
+    return Frame(
+        jnp.asarray(seq.uv[i]),
+        jnp.asarray(seq.desc[i]),
+        jnp.asarray(seq.id_meas[i]),
+        jnp.asarray(seq.id_real[i]),
+        jnp.asarray(seq.valid[i]),
+    )
+
+
+def frames_of(seq, lo: int, hi: int) -> Frame:
+    return Frame(
+        jnp.asarray(seq.uv[lo:hi]),
+        jnp.asarray(seq.desc[lo:hi]),
+        jnp.asarray(seq.id_meas[lo:hi]),
+        jnp.asarray(seq.id_real[lo:hi]),
+        jnp.asarray(seq.valid[lo:hi]),
+    )
+
+
+def _append_to_map(state: VOState, xyz, desc, id_real, id_meas, new_mask) -> Tuple[VOState, jnp.ndarray]:
+    """Masked append preserving source-row order (push_back semantics).
+
+    xyz: (N, 3) candidate landmarks; new_mask: (N,) which to insert.
+    Entries that would overflow capacity are dropped (the reference's vector
+    grows unboundedly; our capacity is sized so this never triggers on the
+    bundled data — see EngineConfig.map_capacity).
+    """
+    C = state.map_xyz.shape[0]
+    offs = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # position among kept
+    pos = state.map_count + offs
+    ok = new_mask & (pos < C)
+    # invalid rows scatter to index C (dropped via mode='drop')
+    tgt = jnp.where(ok, pos, C)
+    map_xyz = state.map_xyz.at[tgt].set(xyz, mode="drop")
+    map_desc = state.map_desc.at[tgt].set(desc, mode="drop")
+    map_id_real = state.map_id_real.at[tgt].set(id_real, mode="drop")
+    map_id_meas = state.map_id_meas.at[tgt].set(id_meas, mode="drop")
+    map_valid = state.map_valid.at[tgt].set(True, mode="drop")
+    n_added = jnp.sum(ok).astype(jnp.int32)
+    return (
+        state._replace(
+            map_xyz=map_xyz,
+            map_desc=map_desc,
+            map_id_real=map_id_real,
+            map_id_meas=map_id_meas,
+            map_valid=map_valid,
+            map_count=state.map_count + n_added,
+        ),
+        n_added,
+    )
+
+
+def bootstrap(key, f0: Frame, f1: Frame, cfg: EngineConfig) -> Tuple[VOState, dict]:
+    """Two-view initialization (icp_test.cpp:40-58). Jittable.
+
+    Returns the initial state (pose = identity — the reference does not push
+    the bootstrap pose) and diagnostics including the recovered camera-1
+    pose T_boot used for triangulation.
+    """
+    K = jnp.asarray(cfg.K())
+    res = match_descriptors(
+        f0.desc, f0.valid, f1.desc, f1.valid,
+        cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+    )
+    uv2 = f1.uv[res.idx]
+    T_boot, rres, pres = twoview.bootstrap_pose(
+        key, K, f0.uv, uv2, res.valid, cfg.ransac
+    )
+    # triangulate ALL matches (no inlier mask — cam.cpp:94-140 quirk)
+    pts, finite = triangulate.triangulate_two_view(
+        K, jnp.eye(4, dtype=jnp.float32), T_boot, f0.uv, uv2
+    )
+    state = empty_state(cfg)
+    state, n_added = _append_to_map(
+        state, pts, f0.desc, f0.id_real, f0.id_meas, res.valid
+    )
+    diag = {
+        "T_boot": T_boot,
+        "n_matches": jnp.sum(res.valid),
+        "n_ransac_inliers": rres.num_inliers,
+        "n_map_points": n_added,
+    }
+    return state, diag
+
+
+def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig) -> Tuple[VOState, FrameLog]:
+    """One tracking iteration (icp_test.cpp:61-136). Jittable, scannable."""
+    K = jnp.asarray(cfg.K())
+
+    # --- 2D-3D: match next frame's descriptors against the map -----------
+    m_map = match_descriptors(
+        nxt.desc, nxt.valid, state.map_desc, state.map_valid,
+        cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+    )
+    map_ids = state.map_id_real[m_map.idx]
+    n_map_correct = jnp.sum(m_map.valid & (nxt.id_real == map_ids))
+
+    # --- PICP from the previous pose (icp_test.cpp:79-111) ----------------
+    T_init = lie.inv_se3(state.pose)  # world-in-camera initial guess
+    sol = picp.solve(
+        K, T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
+        cfg.width, cfg.height, cfg.picp,
+    )
+    new_pose = lie.inv_se3(sol.T)  # camera-in-world
+
+    # --- 2D-2D: match curr -> next for triangulation (icp_test.cpp:122) ---
+    m_img = match_descriptors(
+        curr.desc, curr.valid, nxt.desc, nxt.valid,
+        cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+    )
+    # add_new_world_points (my_utilities.cpp:413-434): keep 2D-2D matches
+    # whose *next*-frame point was not matched to the map
+    next_in_map = m_map.valid  # (N,) per next-frame row
+    is_new = m_img.valid & ~next_in_map[m_img.idx]
+
+    # --- triangulate the new points (cam.cpp:94-140) ----------------------
+    uv_next = nxt.uv[m_img.idx]
+    pts, finite = triangulate.triangulate_two_view(
+        K, state.pose, new_pose, curr.uv, uv_next
+    )
+    state2, n_added = _append_to_map(
+        state._replace(pose=new_pose),
+        pts, curr.desc, curr.id_real, curr.id_meas, is_new,
+    )
+
+    log = FrameLog(
+        pose=new_pose,
+        num_inliers=sol.num_inliers,
+        chi_inliers=sol.chi_inliers,
+        iterations=sol.iterations,
+        converged=sol.converged,
+        n_map_matches=jnp.sum(m_map.valid),
+        n_map_correct=n_map_correct,
+        n_frame_matches=jnp.sum(m_img.valid),
+        n_new_points=n_added,
+        map_count=state2.map_count,
+    )
+    return state2, log
+
+
+def make_tracker(cfg: EngineConfig):
+    """Compile the full-sequence tracker: scan track_step over frame pairs."""
+
+    def run(state: VOState, frames_curr: Frame, frames_next: Frame):
+        def step(s, fr):
+            c, n = fr
+            return track_step(s, c, n, cfg)
+
+        return jax.lax.scan(step, state, (frames_curr, frames_next))
+
+    return jax.jit(run)
+
+
+def run_sequence(seq, cfg: EngineConfig | None = None, seed: int = 42):
+    """End-to-end VO over a loaded sequence. Returns (final state, logs,
+    poses (F,4,4) camera-in-world incl. the identity first pose, diag).
+
+    Two compiled programs total: the bootstrap and the scanned tracker.
+    """
+    cfg = cfg or EngineConfig()
+    key = jax.random.PRNGKey(seed)
+    F = seq.uv.shape[0]
+
+    f0 = frame_of(seq, 0)
+    f1 = frame_of(seq, 1)
+    boot = jax.jit(lambda k, a, b: bootstrap(k, a, b, cfg))
+    state, diag = boot(key, f0, f1)
+
+    tracker = make_tracker(cfg)
+    frames_curr = frames_of(seq, 0, F - 1)
+    frames_next = frames_of(seq, 1, F)
+    state, logs = tracker(state, frames_curr, frames_next)
+
+    poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], logs.pose], axis=0)
+    return state, logs, poses, diag

@@ -33,8 +33,10 @@ def triangulate_dlt(P1, P2, uv1, uv2):
 
     Per pair the classic system rows are u·P[2]-P[0] and v·P[2]-P[1] for
     both views; X is the smallest right singular vector of the 4x4 A.  We
-    take the smallest eigenvector of A^T A instead (same vector, symmetric
-    4x4 eigh vmaps cheaply on TPU).
+    row-normalize A and take the smallest eigenvector of A^T A instead
+    (same vector; a symmetric 4x4 eigh vmaps cheaply on TPU, and the row
+    normalization recovers most of the conditioning that the squared
+    system loses in fp32).
     """
     def rows(P, uv):
         a = uv[:, 0:1] * P[2][None, :] - P[0][None, :]  # (N, 4)
@@ -44,6 +46,7 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     a1, b1 = rows(P1, uv1)
     a2, b2 = rows(P2, uv2)
     A = jnp.stack([a1, b1, a2, b2], axis=1)  # (N, 4, 4)
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=2, keepdims=True), 1e-20)
     AtA = jnp.einsum("nij,nik->njk", A, A)
     _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     X = vecs[..., 0]  # (N, 4) smallest eigenvector
@@ -55,16 +58,77 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     return pts, w
 
 
-def triangulate_two_view(K, T1, T2, uv1, uv2):
+def refine_points(P1, P2, uv1, uv2, pts, iterations: int = 2, damping: float = 1e-6):
+    """Per-point Gauss-Newton polish of the reprojection error.
+
+    The reference's OpenCV DLT runs in double precision internally; in fp32
+    the (squared) DLT system loses several digits on low-parallax points.
+    Two GN iterations on the true reprojection residual (4 residuals, 3
+    unknowns, vmapped 3x3 Cholesky solves) recover — and typically beat —
+    double-DLT accuracy while staying fp32/TPU-native.
+
+    Divergent updates (non-finite, or residual increase on unobservable
+    points) are rejected per-point, so degenerate geometry keeps its DLT
+    estimate exactly as the reference keeps its unfiltered DLT output.
+    """
+
+    def residual(X):
+        def proj(P):
+            h = X @ P[:, :3].T + P[:, 3]  # (N, 3)
+            z = h[:, 2]
+            safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+            return h[:, :2] / safe_z[:, None], safe_z, h
+
+        u1, z1, h1 = proj(P1)
+        u2, z2, h2 = proj(P2)
+        r = jnp.concatenate([u1 - uv1, u2 - uv2], axis=1)  # (N, 4)
+        return r, (z1, h1, z2, h2)
+
+    def jacobian(X, aux):
+        z1, h1, z2, h2 = aux
+
+        def J_of(P, z, h):
+            iz = 1.0 / z
+            # d(u)/dX = (P[0,:3] - u * P[2,:3]) / z, with u = h0/z
+            u = h[:, 0] * iz
+            v = h[:, 1] * iz
+            Ju = (P[0, :3][None, :] - u[:, None] * P[2, :3][None, :]) * iz[:, None]
+            Jv = (P[1, :3][None, :] - v[:, None] * P[2, :3][None, :]) * iz[:, None]
+            return jnp.stack([Ju, Jv], axis=1)  # (N, 2, 3)
+
+        return jnp.concatenate([J_of(P1, z1, h1), J_of(P2, z2, h2)], axis=1)  # (N, 4, 3)
+
+    def step(X):
+        r, aux = residual(X)
+        J = jacobian(X, aux)
+        H = jnp.einsum("nki,nkj->nij", J, J) + damping * jnp.eye(3, dtype=X.dtype)
+        g = jnp.einsum("nki,nk->ni", J, r)
+        dX = jnp.linalg.solve(H, -g[..., None])[..., 0]
+        X_new = X + dX
+        r_new, _ = residual(X_new)
+        better = (
+            jnp.all(jnp.isfinite(X_new), axis=1)
+            & (jnp.sum(r_new * r_new, 1) <= jnp.sum(r * r, 1))
+        )
+        return jnp.where(better[:, None], X_new, X)
+
+    for _ in range(iterations):
+        pts = step(pts)
+    return pts
+
+
+def triangulate_two_view(K, T1, T2, uv1, uv2, refine_iterations: int = 2):
     """Triangulate correspondences seen from camera-in-world poses T1, T2.
 
     Mirrors Cam::triangulatePoints (cam.cpp:94-140): builds the two
-    projection matrices and runs the DLT.  Returns (points (N,3) in world
-    frame, finite_mask (N,)).
+    projection matrices and runs the DLT (plus the fp32 GN polish — see
+    refine_points).  Returns (points (N,3) in world frame, finite_mask (N,)).
     """
     P1 = projection_matrix(K, T1)
     P2 = projection_matrix(K, T2)
     pts, w = triangulate_dlt(P1, P2, uv1, uv2)
+    if refine_iterations:
+        pts = refine_points(P1, P2, uv1, uv2, pts, refine_iterations)
     finite = jnp.abs(w) > 1e-12
     return pts, finite
 
