@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: frames/s of the full VO pipeline (bootstrap + 120-frame tracking:
+matching, PICP GN, triangulation, map growth) on the bundled 121-frame
+sequence, measured on the available accelerator.
+
+vs_baseline anchors against the C++ reference compiled in Release (-O3) on
+this machine: 3584.35 frames/s (see BASELINE.md "Measured C++ baseline").
+
+Two modes are measured and the throughput mode is the headline (TPU-first:
+single-sequence tracking is latency-bound by the sequential GN chain, so the
+chip is saturated by batching independent sequences — the same program
+vmapped over a batch axis):
+  * latency  — one sequence, frames/s = F / wall
+  * throughput — vmap over B sequence replicas, frames/s = B*F / wall
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CPP_BASELINE_FPS = 3584.35
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvo.config import EngineConfig
+    from tpuvo.data import load_sequence
+    from tpuvo.data import synthetic
+    from tpuvo.engine import vo
+    from tpuvo.engine.eval import evaluate, metrics_dict
+
+    cfg = EngineConfig()
+    data_dir = os.environ.get("TPUVO_DATA", "/root/reference/data")
+    if os.path.isdir(data_dir):
+        seq = load_sequence(data_dir, cfg.n_frames)
+    else:  # fall back to a synthetic sequence of the same shape
+        world = synthetic.make_world(0, n_landmarks=1000)
+        gt = synthetic.make_planar_trajectory(cfg.n_frames)
+        seq = synthetic.render_sequence(world, gt, cfg, pixel_noise=0.1)
+
+    F = seq.uv.shape[0]
+    key = jax.random.PRNGKey(42)
+
+    f0 = vo.frame_of(seq, 0)
+    f1 = vo.frame_of(seq, 1)
+    frames_curr = vo.frames_of(seq, 0, F - 1)
+    frames_next = vo.frames_of(seq, 1, F)
+
+    boot = jax.jit(lambda k, a, b: vo.bootstrap(k, a, b, cfg))
+    tracker = vo.make_tracker(cfg)
+
+    # ---- accuracy guard (the bench is invalid if parity breaks) ----------
+    state0, _ = boot(key, f0, f1)
+    state, logs = tracker(state0, frames_curr, frames_next)
+    poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], logs.pose], 0)
+    res = evaluate(np.asarray(poses), seq.gt_pose, cfg)
+    acc = metrics_dict(res)
+
+    # ---- latency mode ----------------------------------------------------
+    def run_once():
+        s, _ = boot(key, f0, f1)
+        s, lg = tracker(s, frames_curr, frames_next)
+        jax.block_until_ready(lg.pose)
+
+    run_once()  # warm
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_once()
+    lat_s = (time.perf_counter() - t0) / reps
+    fps_latency = F / lat_s
+
+    # ---- throughput mode: vmapped batch of sequences ---------------------
+    B = int(os.environ.get("TPUVO_BENCH_BATCH", "32"))
+
+    def batched(k, bf0, bf1, bc, bn):
+        s, _ = jax.vmap(lambda kk, a, b: vo.bootstrap(kk, a, b, cfg))(k, bf0, bf1)
+        s, lg = jax.vmap(lambda st, c, n: jax.lax.scan(
+            lambda ss, fr: vo.track_step(ss, fr[0], fr[1], cfg), st, (c, n)
+        ))(s, bc, bn)
+        return lg.pose
+
+    batched_j = jax.jit(batched)
+    tile = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape)
+    keys = jax.random.split(key, B)
+    bf0 = jax.tree.map(tile, f0)
+    bf1 = jax.tree.map(tile, f1)
+    bc = jax.tree.map(tile, frames_curr)
+    bn = jax.tree.map(tile, frames_next)
+    jax.block_until_ready(batched_j(keys, bf0, bf1, bc, bn))  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(batched_j(keys, bf0, bf1, bc, bn))
+    thr_s = (time.perf_counter() - t0) / reps
+    fps_throughput = B * F / thr_s
+
+    fps = max(fps_latency, fps_throughput)
+    out = {
+        "metric": "vo_frames_per_second",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / CPP_BASELINE_FPS, 3),
+        "extra": {
+            "fps_latency_1seq": round(fps_latency, 1),
+            "fps_throughput_batch": round(fps_throughput, 1),
+            "batch": B,
+            "device": str(jax.devices()[0]),
+            "ate_rmse": round(acc["ate_rmse"], 4),
+            "trans_err_mean": round(acc["trans_err_mean"], 4),
+            "map_count": int(state.map_count),
+            "cpp_baseline_fps": CPP_BASELINE_FPS,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

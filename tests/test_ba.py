@@ -1,0 +1,162 @@
+"""Sliding-window BA tests on synthetic problems with known ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvo.ba.window import BAProblem, ba_solve, ba_step, linearize_ba
+from tpuvo.config import BAConfig, EngineConfig
+from tpuvo.data import synthetic
+
+CFG = EngineConfig()
+K = jnp.asarray(CFG.K())
+
+
+def make_ba_problem(
+    W=8, L=256, noise_px=0.0, pose_noise=0.0, point_noise=0.0, seed=0,
+    fix_first_two=True,
+):
+    """Render a synthetic window and perturb the initial estimates."""
+    rng = np.random.default_rng(seed)
+    world = synthetic.make_world(seed, n_landmarks=L, xy_extent=6.0)
+    gt = synthetic.make_planar_trajectory(W, step=0.25, turn=0.05, seed=seed)
+    seq = synthetic.render_sequence(world, gt, CFG, pixel_noise=noise_px, seed=seed)
+
+    poses_gt = np.stack(
+        [np.linalg.inv(synthetic.camera_pose_from_gt(g, CFG)) for g in gt]
+    ).astype(np.float32)  # world-in-camera
+
+    N = seq.uv.shape[1]
+    obs_lm = np.where(seq.valid, seq.id_real, 0).astype(np.int32)
+
+    poses0 = poses_gt.copy()
+    if pose_noise > 0:
+        from tpuvo.ops import lie
+
+        for i in range(2 if fix_first_two else 1, W):
+            xi = pose_noise * rng.standard_normal(6).astype(np.float32)
+            poses0[i] = np.asarray(lie.se3_exp(jnp.asarray(xi))) @ poses0[i]
+    points0 = world.xyz.copy()
+    if point_noise > 0:
+        points0 = points0 + point_noise * rng.standard_normal(points0.shape).astype(np.float32)
+
+    fixed = np.zeros(W, bool)
+    fixed[0] = True
+    if fix_first_two:
+        fixed[1] = True
+
+    prob = BAProblem(
+        poses=jnp.asarray(poses0),
+        points=jnp.asarray(points0.astype(np.float32)),
+        obs_uv=jnp.asarray(seq.uv[:W]),
+        obs_lm=jnp.asarray(obs_lm[:W]),
+        obs_valid=jnp.asarray(seq.valid[:W]),
+        point_valid=jnp.ones(L, bool),
+        fixed=jnp.asarray(fixed),
+    )
+    return prob, poses_gt, world
+
+
+def reproj_rms(prob):
+    from tpuvo.ops.camera import project_points
+
+    errs = []
+    for f in range(prob.poses.shape[0]):
+        X = prob.points[prob.obs_lm[f]]
+        uv, ok = project_points(K, prob.poses[f], X, CFG.width, CFG.height)
+        m = np.asarray(prob.obs_valid[f] & ok)
+        e = np.linalg.norm(np.asarray(uv - prob.obs_uv[f]), axis=1)[m]
+        errs.append(e)
+    e = np.concatenate(errs)
+    return float(np.sqrt((e**2).mean()))
+
+
+def test_ba_zero_residual_at_gt():
+    prob, poses_gt, world = make_ba_problem(noise_px=0.0)
+    assert reproj_rms(prob) < 1e-3
+    # one BA step must not break a perfect solution
+    cfg = BAConfig(iterations=1)
+    prob2, stats = ba_step(prob, K, CFG.width, CFG.height, cfg)
+    assert reproj_rms(prob2) < 1e-2
+
+
+def test_ba_recovers_perturbed_poses():
+    prob, poses_gt, world = make_ba_problem(pose_noise=0.03, seed=1)
+    assert reproj_rms(prob) > 1.0  # perturbation visible
+    cfg = BAConfig(iterations=10, damping=1e-3)
+    solve = jax.jit(lambda p: ba_solve(p, K, CFG.width, CFG.height, cfg))
+    prob2, stats = solve(prob)
+    assert reproj_rms(prob2) < 1e-2
+    # poses back at GT
+    err_t = np.linalg.norm(
+        np.asarray(prob2.poses)[:, :3, 3] - poses_gt[:, :3, 3], axis=1
+    )
+    assert err_t.max() < 1e-2
+
+
+def test_ba_recovers_perturbed_points():
+    prob, poses_gt, world = make_ba_problem(point_noise=0.05, seed=2)
+    cfg = BAConfig(iterations=10, damping=1e-3)
+    prob2, stats = ba_solve(prob, K, CFG.width, CFG.height, cfg)
+    assert reproj_rms(prob2) < 1e-2
+    # observed landmarks pulled back to GT
+    seen = np.zeros(world.xyz.shape[0], bool)
+    seen[np.unique(np.asarray(prob.obs_lm)[np.asarray(prob.obs_valid)])] = True
+    err = np.linalg.norm(np.asarray(prob2.points) - world.xyz, axis=1)
+    assert np.median(err[seen]) < 1e-2
+
+
+def test_ba_joint_with_noise():
+    prob, poses_gt, world = make_ba_problem(
+        noise_px=0.3, pose_noise=0.02, point_noise=0.03, seed=3
+    )
+    cfg = BAConfig(iterations=15, damping=1e-3)
+    prob2, stats = ba_solve(prob, K, CFG.width, CFG.height, cfg)
+    # converges to the noise floor (~noise_px)
+    assert reproj_rms(prob2) < 0.6
+    err_t = np.linalg.norm(
+        np.asarray(prob2.poses)[:, :3, 3] - poses_gt[:, :3, 3], axis=1
+    )
+    assert err_t.max() < 0.05
+
+
+def test_ba_robust_kernel_rejects_outliers():
+    prob, poses_gt, world = make_ba_problem(pose_noise=0.02, seed=4)
+    # corrupt 10% of observations grossly
+    rng = np.random.default_rng(4)
+    uv = np.asarray(prob.obs_uv).copy()
+    valid = np.asarray(prob.obs_valid)
+    W, N = valid.shape
+    for f in range(W):
+        rows = np.nonzero(valid[f])[0]
+        bad = rng.choice(rows, max(1, len(rows) // 10), replace=False)
+        uv[f, bad] += rng.uniform(100, 300, (len(bad), 2))
+    prob = prob._replace(obs_uv=jnp.asarray(uv))
+    cfg = BAConfig(iterations=12, damping=1e-3, huber_threshold=1000.0)
+    prob2, stats = ba_solve(prob, K, CFG.width, CFG.height, cfg)
+    err_t = np.linalg.norm(
+        np.asarray(prob2.poses)[:, :3, 3] - poses_gt[:, :3, 3], axis=1
+    )
+    assert err_t.max() < 0.05
+
+
+def test_ba_fixed_poses_do_not_move():
+    prob, poses_gt, world = make_ba_problem(pose_noise=0.03, point_noise=0.02, seed=5)
+    cfg = BAConfig(iterations=8)
+    prob2, stats = ba_solve(prob, K, CFG.width, CFG.height, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(prob2.poses[:2]), np.asarray(prob.poses[:2])
+    )
+
+
+def test_linearize_shapes():
+    prob, *_ = make_ba_problem(W=4, L=64)
+    cfg = BAConfig()
+    Hpp, bp, Hll, bl, Wfl, stats = linearize_ba(prob, K, CFG.width, CFG.height, cfg)
+    assert Hpp.shape == (4, 6, 6) and bp.shape == (4, 6)
+    assert Hll.shape == (64, 3, 3) and bl.shape == (64, 3)
+    assert Wfl.shape == (64, 4, 6, 3)
+    # Hpp symmetric PSD
+    H = np.asarray(Hpp)
+    assert np.allclose(H, np.swapaxes(H, 1, 2), atol=1e-3)

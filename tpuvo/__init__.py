@@ -14,6 +14,20 @@ Design rules (TPU-first, not a port):
   * multi-chip scaling via `jax.sharding.Mesh` + `shard_map` collectives.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Geometry pipelines are precision-critical: TPU's default bf16 matmul
+# passes destroy triangulation/solver accuracy (ATE 0.195 -> 3.2 on the
+# bundled sequence).  Force true-f32 matmuls; the matrices here are tiny,
+# so the multi-pass cost is negligible next to the accuracy cliff.
+if _os.environ.get("TPUVO_MATMUL_PRECISION", "highest") != "default":
+    _jax.config.update(
+        "jax_default_matmul_precision",
+        _os.environ.get("TPUVO_MATMUL_PRECISION", "highest"),
+    )
+
 from tpuvo.config import EngineConfig, MatcherConfig, PICPConfig, RansacConfig
 
 __version__ = "0.1.0"

@@ -1,0 +1,287 @@
+"""Sliding-window bundle adjustment with Schur-complement landmark reduction.
+
+NEW layer with no reference counterpart (SURVEY.md §2 "Parallelism
+strategies": the reference is single-threaded per-frame PICP only; this is
+the TP/PP analog mandated by BASELINE.json's north star).
+
+Formulation — classic visual BA:
+  * state: W camera poses (world-in-camera T_f) + L landmarks X_l
+  * per observation (f, l): residual e = pi(K · T_f · X_l) - uv
+    with the same saturating robust kernel as PICP (sqrt(thr/chi) weight)
+  * pose Jacobian A (2x6) as in picp_solver.cpp:37-53; landmark Jacobian
+    B = Jp · K · R_f (2x3)
+  * normal equations in block form:
+        [ Hpp  Hpl ] [dx_p]   [-bp]
+        [ Hlp  Hll ] [dx_l] = [-bl]
+    with Hll block-diagonal (3x3 per landmark) -> Schur complement
+        S = Hpp - Hpl Hll^-1 Hlp   (dense (6W, 6W), W is small)
+    reduced solve for poses, then trivially-parallel back-substitution for
+    landmarks.
+  * gauge: the first window pose is held fixed by a large diagonal prior.
+
+TPU-first: every per-observation quantity is one vmapped/fused pass; the
+per-(landmark, frame) coupling blocks W[l, f] (6x3) are assembled by
+segment-sum scatter; Hll inversion is a vmapped 3x3 solve; S assembly is a
+single einsum over the landmark axis — which is exactly the axis
+``tpuvo.parallel`` shards across devices (each shard computes its partial
+S and the psum over shards rides ICI).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuvo.config import BAConfig, EngineConfig
+from tpuvo.ops import lie
+from tpuvo.ops.camera import project_points_with_cam
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA problem.
+
+    poses:    (W, 4, 4) world-in-camera transforms
+    points:   (L, 3) landmark positions
+    obs_uv:   (W, N, 2) pixel measurements
+    obs_lm:   (W, N) int32 landmark index per observation
+    obs_valid:(W, N) bool
+    point_valid: (L,) bool
+    fixed:    (W,) bool — poses held fixed (gauge)
+    """
+
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    obs_uv: jnp.ndarray
+    obs_lm: jnp.ndarray
+    obs_valid: jnp.ndarray
+    point_valid: jnp.ndarray
+    fixed: jnp.ndarray
+
+
+class BAStats(NamedTuple):
+    chi: jnp.ndarray          # robust total chi
+    num_inliers: jnp.ndarray
+    num_obs: jnp.ndarray
+
+
+def _per_obs_blocks(K, T, X, uv, valid, width, height, kernel_threshold,
+                    keep_outliers: bool = False):
+    """Linearize one frame's observations.
+
+    X: (N, 3) gathered landmark positions; returns per-obs A (N,2,6),
+    B (N,2,3), e (N,2), w (N,) robust weight (0 for culled/invalid)."""
+    uv_hat, proj_ok, p_cam, phom = project_points_with_cam(K, T, X, width, height)
+    e = uv_hat - uv
+    N = X.shape[0]
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (N, 3, 3))
+    Jr = jnp.concatenate([I3, lie.skew(-p_cam)], axis=-1)  # (N, 3, 6)
+    iz = 1.0 / jnp.where(jnp.abs(phom[:, 2]) > 1e-12, phom[:, 2], 1.0)
+    iz2 = iz * iz
+    zero = jnp.zeros_like(iz)
+    Jp = jnp.stack(
+        [
+            jnp.stack([iz, zero, -phom[:, 0] * iz2], -1),
+            jnp.stack([zero, iz, -phom[:, 1] * iz2], -1),
+        ],
+        -2,
+    )  # (N, 2, 3)
+    JpK = jnp.einsum("nij,jk->nik", Jp, K)   # (N, 2, 3)
+    A = jnp.einsum("nik,nkl->nil", JpK, Jr)  # (N, 2, 6) pose Jacobian
+    B = jnp.einsum("nik,kl->nil", JpK, T[:3, :3])  # (N, 2, 3) point Jacobian
+
+    ok = valid & proj_ok
+    # zero masked rows before any reduction (inf·0 = NaN hazard, see picp)
+    e = jnp.where(ok[:, None], e, 0.0)
+    A = jnp.where(ok[:, None, None], A, 0.0)
+    B = jnp.where(ok[:, None, None], B, 0.0)
+    chi = jnp.sum(e * e, -1)
+    inlier = chi <= kernel_threshold
+    lam = jnp.where(inlier, 1.0, jnp.sqrt(kernel_threshold / jnp.maximum(chi, 1e-20)))
+    contrib = ok if keep_outliers else (ok & inlier)
+    w = lam * contrib.astype(X.dtype)
+    return A, B, e, w, chi, ok, inlier
+
+
+def linearize_ba(problem: BAProblem, K, width, height, cfg: BAConfig):
+    """Assemble all Schur ingredients in fused batched passes.
+
+    Returns (Hpp (W,6,6), bp (W,6), Hll (L,3,3), bl (L,3),
+    Wfl (L,W,6,3) coupling blocks, stats)."""
+    W = problem.poses.shape[0]
+    L = problem.points.shape[0]
+
+    def per_frame(T, uv, lm, valid):
+        X = problem.points[lm]  # (N, 3)
+        valid = valid & problem.point_valid[lm]
+        A, B, e, w, chi, ok, inlier = _per_obs_blocks(
+            K, T, X, uv, valid, width, height, cfg.huber_threshold,
+            cfg.keep_outliers,
+        )
+        Hpp_f = jnp.einsum("nki,nkj,n->ij", A, A, w)
+        bp_f = jnp.einsum("nki,nk,n->i", A, e, w)
+        # per-obs landmark-indexed contributions (scattered below)
+        HB = jnp.einsum("nki,nkj,n->nij", B, B, w)      # (N, 3, 3)
+        blB = jnp.einsum("nki,nk,n->ni", B, e, w)       # (N, 3)
+        Wb = jnp.einsum("nki,nkj,n->nij", A, B, w)      # (N, 6, 3)
+        return Hpp_f, bp_f, HB, blB, Wb, w, chi, ok, inlier
+
+    Hpp, bp, HB, blB, Wb, w, chi, ok, inlier = jax.vmap(per_frame)(
+        problem.poses, problem.obs_uv, problem.obs_lm, problem.obs_valid
+    )
+    # scatter per-obs landmark blocks into (L, ...) via segment-sum
+    lm_flat = problem.obs_lm.reshape(-1)
+    Hll = jax.ops.segment_sum(
+        HB.reshape(-1, 3, 3), lm_flat, num_segments=L
+    )
+    bl = jax.ops.segment_sum(blB.reshape(-1, 3), lm_flat, num_segments=L)
+    # coupling blocks per (landmark, frame): scatter with combined index
+    fidx = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None], problem.obs_lm.shape
+    ).reshape(-1)
+    Wfl = jax.ops.segment_sum(
+        Wb.reshape(-1, 6, 3), lm_flat * W + fidx, num_segments=L * W
+    ).reshape(L, W, 6, 3)
+
+    contrib = (w > 0)
+    stats = BAStats(
+        chi=jnp.sum(chi * (w > 0) * jnp.minimum(w, 1.0)),
+        num_inliers=jnp.sum(ok & inlier),
+        num_obs=jnp.sum(ok),
+    )
+    return Hpp, bp, Hll, bl, Wfl, stats
+
+
+def invert_hll(Hll, damping):
+    """Damped inverse of the landmark blocks (vmapped 3x3).
+
+    Symmetrize + scale-relative damping: Hll entries reach ~1e6, where f32
+    roundoff (~eps·|H| ≈ 0.1) dwarfs an absolute damping and can leave a
+    near-singular block; the trace-relative term keeps the inverse sane.
+    Non-finite inverses are zeroed (the landmark is skipped this step)."""
+    I3 = jnp.eye(3, dtype=Hll.dtype)
+    Hll_s = 0.5 * (Hll + jnp.swapaxes(Hll, -1, -2))
+    tr = Hll_s[:, 0, 0] + Hll_s[:, 1, 1] + Hll_s[:, 2, 2]
+    lam_l = damping + 1e-5 * tr
+    Hll_d = Hll_s + lam_l[:, None, None] * I3[None]
+    Hll_inv = jnp.linalg.inv(Hll_d)
+    finite = jnp.all(jnp.isfinite(Hll_inv), axis=(1, 2))
+    return jnp.where(finite[:, None, None], Hll_inv, 0.0)
+
+
+def schur_parts(Hpp, bp, Hll, bl, Wfl, damping):
+    """Per-landmark-set contribution to the reduced camera system.
+
+    Returns (S_contrib (6W, 6W), b_contrib (6W,), Hll_inv) — pure sums over
+    the landmark axis, so the sharded backend computes these per shard and
+    psums them (tpuvo/parallel/ba_sharded.py); only the (6W)^2 reduced
+    system crosses the interconnect, never the landmark blocks."""
+    W = Hpp.shape[0]
+    Hll_inv = invert_hll(Hll, damping)
+    WHinv = jnp.einsum("lfij,ljk->lfik", Wfl, Hll_inv)        # (L, W, 6, 3)
+    S_red = jnp.einsum("lfik,lgjk->figj", WHinv, Wfl)          # (W,6,W,6)
+    S = -S_red
+    S = S.at[jnp.arange(W), :, jnp.arange(W), :].add(Hpp)
+    bp_red = bp - jnp.einsum("lfik,lk->fi", WHinv, bl)         # (W, 6)
+    return S.reshape(W * 6, W * 6), bp_red.reshape(W * 6), Hll_inv
+
+
+def finalize_reduced(S, b_red, fixed, damping):
+    """Gauge-fix + damp the (psum-combined) reduced system.
+
+    Gauge: zero the rows/cols of fixed poses and pin their diagonal to 1
+    (exact, and keeps the f32 Cholesky well-conditioned)."""
+    free = jnp.repeat(~fixed, 6).astype(S.dtype)
+    S = S * free[:, None] * free[None, :]
+    diag = jnp.eye(S.shape[0], dtype=S.dtype)
+    S = S + diag * (damping * free + (1.0 - free))
+    return S, b_red * free
+
+
+def backsubstitute(Hll_inv, bl, Wfl, dx_p):
+    """Landmark updates given the pose solution: dx_l = -Hll^-1 (bl + W^T dx_p).
+    Embarrassingly parallel over landmarks (local per shard)."""
+    rhs = bl + jnp.einsum("lfij,fi->lj", Wfl, dx_p)
+    return -jnp.einsum("lij,lj->li", Hll_inv, rhs)
+
+
+def schur_reduce(Hpp, bp, Hll, bl, Wfl, fixed, damping):
+    """Single-device reduced camera system (parts + finalize)."""
+    S, b_red, Hll_inv = schur_parts(Hpp, bp, Hll, bl, Wfl, damping)
+    S, b_red = finalize_reduced(S, b_red, fixed, damping)
+    return S, b_red, Hll_inv, None
+
+
+def ba_step(problem: BAProblem, K, width, height, cfg: BAConfig):
+    """One Levenberg-damped GN iteration of windowed BA."""
+    Hpp, bp, Hll, bl, Wfl, stats = linearize_ba(problem, K, width, height, cfg)
+    S, b_red, Hll_inv, WHinv = schur_reduce(
+        Hpp, bp, Hll, bl, Wfl, problem.fixed, cfg.damping
+    )
+    c, low = jax.scipy.linalg.cho_factor(S)
+    dx_p = jax.scipy.linalg.cho_solve((c, low), -b_red).reshape(-1, 6)  # (W, 6)
+
+    Hll_inv = invert_hll(Hll, cfg.damping)
+    dx_l = backsubstitute(Hll_inv, bl, Wfl, dx_p)
+
+    new_poses = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_p, problem.poses)
+    new_poses = jnp.where(problem.fixed[:, None, None], problem.poses, new_poses)
+    touched = Hll[:, 0, 0] + Hll[:, 1, 1] + Hll[:, 2, 2] > 0
+    upd = problem.point_valid & touched
+    new_points = jnp.where(upd[:, None], problem.points + dx_l, problem.points)
+    return problem._replace(poses=new_poses, points=new_points), stats
+
+
+def ba_solve(problem: BAProblem, K, width, height, cfg: BAConfig):
+    """Run cfg.iterations BA steps (fori_loop — static, compile-once)."""
+
+    def body(_, carry):
+        prob, _ = carry
+        return ba_step(prob, K, width, height, cfg)
+
+    dummy = BAStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
+    prob, stats = jax.lax.fori_loop(0, cfg.iterations, body, (problem, dummy))
+    return prob, stats
+
+
+def build_problem_from_vo(state, seq, frame_indices, cfg: EngineConfig) -> BAProblem:
+    """Adapter: a VO map + a window of frames -> a BAProblem.
+
+    Correspondences come from re-matching each window frame's descriptors
+    against the (frozen) map — the same matcher the tracker uses.  Host-side
+    convenience (numpy in, device arrays out); the solve itself is jitted.
+    """
+    import numpy as np
+
+    from tpuvo.ops.match import match_descriptors
+
+    W = len(frame_indices)
+    L = state.map_xyz.shape[0]
+    N = seq.uv.shape[1]
+    obs_uv = np.zeros((W, N, 2), np.float32)
+    obs_lm = np.zeros((W, N), np.int32)
+    obs_valid = np.zeros((W, N), bool)
+    poses = np.zeros((W, 4, 4), np.float32)
+
+    map_desc = jnp.asarray(state.map_desc)
+    map_valid = jnp.asarray(state.map_valid)
+    for k, fi in enumerate(frame_indices):
+        res = match_descriptors(
+            jnp.asarray(seq.desc[fi]), jnp.asarray(seq.valid[fi]),
+            map_desc, map_valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+        )
+        obs_uv[k] = seq.uv[fi]
+        obs_lm[k] = np.asarray(res.idx)
+        obs_valid[k] = np.asarray(res.valid)
+
+    return BAProblem(
+        poses=jnp.asarray(poses),  # caller overwrites with tracked poses
+        points=jnp.asarray(state.map_xyz),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_valid=jnp.asarray(obs_valid),
+        point_valid=jnp.asarray(state.map_valid),
+        fixed=jnp.asarray(np.eye(1, W, 0, dtype=bool)[0]),
+    )

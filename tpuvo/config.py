@@ -84,6 +84,7 @@ class BAConfig:
     iterations: int = 10
     damping: float = 1.0e-3
     huber_threshold: float = 3000.0  # same saturating kernel as PICP
+    keep_outliers: bool = False      # False = exclude like PICP (picp_solver.cpp:86-89)
 
 
 @dataclass(frozen=True)

@@ -97,8 +97,12 @@ def linearize(
     )  # (N, 2, 3)
     J = jnp.einsum("nij,jk,nkl->nil", Jp, K, Jr)  # (N, 2, 6)
 
-    chi = jnp.sum(e * e, -1)
     valid = corr_valid & proj_ok
+    # Zero masked rows *before* reduction: a culled point can carry inf in
+    # its Jacobian/residual, and inf * 0-weight = NaN would poison the sums.
+    e = jnp.where(valid[:, None], e, 0.0)
+    J = jnp.where(valid[:, None, None], J, 0.0)
+    chi = jnp.sum(e * e, -1)
     is_inlier = chi <= kernel_threshold
     lam = jnp.where(is_inlier, 1.0, jnp.sqrt(kernel_threshold / jnp.maximum(chi, 1e-20)))
     contrib = valid & (is_inlier if not keep_outliers else jnp.ones_like(is_inlier))

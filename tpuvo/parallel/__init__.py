@@ -1,0 +1,12 @@
+from tpuvo.parallel.mesh import local_mesh, maybe_distributed_init
+from tpuvo.parallel.match_sharded import sharded_match_descriptors
+from tpuvo.parallel.ba_sharded import shard_ba_problem, sharded_ba_solve, sharded_ba_step
+
+__all__ = [
+    "local_mesh",
+    "maybe_distributed_init",
+    "sharded_match_descriptors",
+    "shard_ba_problem",
+    "sharded_ba_solve",
+    "sharded_ba_step",
+]
