@@ -1,0 +1,174 @@
+"""Command-line interface: ``python -m tpuvo <subcommand>``.
+
+Replaces the reference's four executables (CMakeLists.txt:25-59) with one
+CLI (SURVEY.md §2 "Drivers" row):
+
+  run          — canonical icp_test pipeline; writes the reference-format
+                 artifacts + headless plots
+  vo           — the vo.cpp driver variant (kernel 1000, fixed 5 rounds,
+                 path-length scale)
+  match-test   — per-pair matcher precision probe (match_points_test)
+  pose-recovery— chained two-view odometry (pose_recovery_test)
+  triangulate  — bootstrap-only landmark dump vs world.dat
+                 (triangulate_points_test)
+  ba           — sliding-window bundle adjustment refinement over a run
+  bench        — the benchmark harness (same as python bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load(args):
+    from tpuvo.config import EngineConfig
+    from tpuvo.data import load_camera_config, load_sequence
+
+    camera_dat = os.path.join(args.data, "camera.dat")
+    if os.path.exists(camera_dat):
+        cfg = load_camera_config(camera_dat, mode=args.mode)
+    else:
+        cfg = EngineConfig(mode=args.mode)
+    seq = load_sequence(args.data, args.frames)
+    return cfg, seq
+
+
+def cmd_run(args):
+    from tpuvo.engine.drivers import run_icp
+    from tpuvo.engine.eval import evaluate, metrics_dict, write_outputs
+    from tpuvo.engine import plots
+    from tpuvo.utils.metrics import MetricsLogger, log_frame_logs
+
+    cfg, seq = _load(args)
+    state, logs, poses, diag = run_icp(seq, cfg, seed=args.seed)
+    res = evaluate(poses, seq.gt_pose, cfg)
+    os.makedirs(args.out, exist_ok=True)
+    write_outputs(args.out, res, state, cfg)
+    plots.render_all(args.out, res, state, cfg)
+    logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+    log_frame_logs(logger, logs)
+    m = metrics_dict(res)
+    logger.log({"event": "summary", **m, "map_count": int(state.map_count)})
+    logger.close()
+    print(json.dumps({"map_count": int(state.map_count), **m}, indent=2))
+
+
+def cmd_vo(args):
+    from tpuvo.engine.drivers import run_vo
+    from tpuvo.engine.eval import evaluate, metrics_dict
+
+    cfg, seq = _load(args)
+    state, logs, poses, diag = run_vo(seq, cfg, seed=args.seed)
+    res = evaluate(poses, seq.gt_pose, cfg)
+    print(json.dumps({
+        "map_count": int(state.map_count),
+        "scale_path_ratio": diag["scale_path_ratio"],
+        "duplicate_landmarks": diag["duplicates"],
+        **metrics_dict(res),
+    }, indent=2))
+
+
+def cmd_match_test(args):
+    from tpuvo.engine.drivers import run_match_test
+
+    cfg, seq = _load(args)
+    rows = run_match_test(seq, cfg)
+    total_f = sum(r.found for r in rows)
+    total_c = sum(r.correct for r in rows)
+    for r in rows:
+        print(f"frame {r.frame:3d}: possible {r.possible:4d} found {r.found:4d} correct {r.correct:4d}")
+    print(f"TOTAL: found {total_f} correct {total_c} precision {total_c/max(total_f,1):.4f}")
+
+
+def cmd_pose_recovery(args):
+    from tpuvo.engine.drivers import run_pose_recovery
+
+    cfg, seq = _load(args)
+    poses_world, inliers = run_pose_recovery(seq, cfg, seed=args.seed)
+    print(f"chained {len(poses_world)} poses; mean pair inliers {np.mean(inliers):.1f}")
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        np.savetxt(
+            os.path.join(args.out, "chained_trajectory.txt"),
+            np.c_[np.arange(len(poses_world)), poses_world[:, 0, 3], poses_world[:, 1, 3]],
+            fmt="%g",
+        )
+
+
+def cmd_triangulate(args):
+    from tpuvo.data import load_world_points
+    from tpuvo.engine.drivers import run_triangulate_test
+
+    cfg, seq = _load(args)
+    world = load_world_points(os.path.join(args.data, "world.dat"))
+    ids, pts, gt = run_triangulate_test(seq, world, cfg, seed=args.seed)
+    for i in range(min(len(ids), args.limit)):
+        print(f"id {int(ids[i]):4d} est {pts[i].round(3).tolist()} gt {gt[i].round(3).tolist()}")
+    print(f"({len(ids)} landmarks triangulated)")
+
+
+def cmd_ba(args):
+    import jax.numpy as jnp
+
+    from tpuvo.ba.window import ba_solve, build_problem_from_vo
+    from tpuvo.config import BAConfig
+    from tpuvo.engine.drivers import run_icp
+    from tpuvo.ops import lie
+
+    cfg, seq = _load(args)
+    state, logs, poses, diag = run_icp(seq, cfg, seed=args.seed)
+    lo = max(0, args.window_start)
+    hi = min(seq.uv.shape[0], lo + args.window)
+    idxs = list(range(lo, hi))
+    prob = build_problem_from_vo(state, seq, idxs, cfg)
+    # world-in-camera poses of the window from the tracked trajectory
+    wic = np.stack([np.asarray(lie.inv_se3(jnp.asarray(np.asarray(poses)[i]))) for i in idxs])
+    prob = prob._replace(poses=jnp.asarray(wic))
+    ba_cfg = BAConfig(window=len(idxs), iterations=args.iterations)
+    prob2, stats = ba_solve(prob, jnp.asarray(cfg.K()), cfg.width, cfg.height, ba_cfg)
+    print(json.dumps({
+        "window": idxs,
+        "iterations": args.iterations,
+        "chi": float(stats.chi),
+        "num_inliers": int(stats.num_inliers),
+        "num_obs": int(stats.num_obs),
+    }, indent=2))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpuvo", description=__doc__)
+    p.add_argument("--data", default="/root/reference/data", help="dataset dir")
+    p.add_argument("--frames", type=int, default=121)
+    p.add_argument("--mode", default="parity", choices=["parity", "fixed"])
+    p.add_argument("--seed", type=int, default=42)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("run"); s.add_argument("--out", default="output"); s.set_defaults(fn=cmd_run)
+    s = sub.add_parser("vo"); s.set_defaults(fn=cmd_vo)
+    s = sub.add_parser("match-test"); s.set_defaults(fn=cmd_match_test)
+    s = sub.add_parser("pose-recovery"); s.add_argument("--out", default=""); s.set_defaults(fn=cmd_pose_recovery)
+    s = sub.add_parser("triangulate"); s.add_argument("--limit", type=int, default=20); s.set_defaults(fn=cmd_triangulate)
+    s = sub.add_parser("ba")
+    s.add_argument("--window", type=int, default=10)
+    s.add_argument("--window-start", type=int, default=0)
+    s.add_argument("--iterations", type=int, default=10)
+    s.set_defaults(fn=cmd_ba)
+    s = sub.add_parser("bench"); s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
