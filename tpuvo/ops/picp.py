@@ -37,7 +37,12 @@ from tpuvo.config import PICPConfig
 from tpuvo.ops import lie
 from tpuvo.ops.camera import project_points_with_cam
 
-FLT_MAX = jnp.float32(3.4028235e38)
+# First-iteration sentinel for the previous-chi value.  The reference uses
+# FLT_MAX (icp_test.cpp:89), but TPUs flush subnormals: XLA lowers x/prev as
+# x·reciprocal(prev), and 1/3.4e38 is subnormal -> 0, which made the loop
+# "converge" after one round on TPU.  1e30 behaves identically (first-round
+# relative improvement ~1) while keeping the reciprocal normal.
+PREV_CHI_INIT = jnp.float32(1e30)
 
 
 class Linearization(NamedTuple):
@@ -158,7 +163,7 @@ def solve(
                 lin.chi_outliers, converged)
 
     init = (
-        T_init, FLT_MAX, jnp.int32(0), jnp.bool_(False),
+        T_init, PREV_CHI_INIT, jnp.int32(0), jnp.bool_(False),
         jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0), jnp.bool_(False),
     )
     T, _prev, it, _done, n_in, chi_in, chi_out, conv = jax.lax.while_loop(cond, body, init)
