@@ -55,6 +55,10 @@ class PICPConfig:
     convergence_threshold: float = 1e-5
     min_num_inliers: int = 0
     keep_outliers: bool = False
+    # graceful degradation (my_utilities.cpp:269-273): reuse the previous
+    # pose when fewer than this many 2D-3D matches survive.  0 = parity
+    # with icp_test (which always solves).
+    min_matches_reuse_pose: int = 0
 
 
 @dataclass(frozen=True)

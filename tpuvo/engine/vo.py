@@ -148,6 +148,13 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig) -> Tu
         cfg.width, cfg.height, cfg.picp,
     )
     new_pose = lie.inv_se3(sol.T)  # camera-in-world
+    # graceful degradation: keep the previous pose on match starvation or a
+    # non-finite solve (reference fallback, my_utilities.cpp:269-273)
+    n_matches = jnp.sum(m_map.valid)
+    healthy = (n_matches >= cfg.picp.min_matches_reuse_pose) & jnp.all(
+        jnp.isfinite(new_pose)
+    )
+    new_pose = jnp.where(healthy, new_pose, state.pose)
 
     # --- 2D-2D: match curr -> next for triangulation (icp_test.cpp:122) ---
     m_img = match_descriptors(
