@@ -165,7 +165,9 @@ def invert_hll(Hll, damping):
     tr = Hll_s[:, 0, 0] + Hll_s[:, 1, 1] + Hll_s[:, 2, 2]
     lam_l = damping + 1e-5 * tr
     Hll_d = Hll_s + lam_l[:, None, None] * I3[None]
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    from tpuvo.ops.linalg_small import inv3
+
+    Hll_inv = inv3(Hll_d)
     finite = jnp.all(jnp.isfinite(Hll_inv), axis=(1, 2))
     return jnp.where(finite[:, None, None], Hll_inv, 0.0)
 

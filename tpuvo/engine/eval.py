@@ -112,6 +112,27 @@ def write_outputs(out_dir: str, result: EvalResult, state=None, cfg=None):
                 f.write(f"{wid} {p[0]:g} {p[1]:g} {p[2]:g}\n")
 
 
+def rotation_error_geodesic(R_est, R_gt):
+    """Geodesic angle between rotations (computeRotationError,
+    my_utilities.cpp:400-410 — declared-and-unused in the reference's
+    icp_test; provided here as the honest SO(3) metric)."""
+    R_err = np.einsum("...ij,...kj->...ik", R_est, R_gt)  # R_est @ R_gt^T
+    tr = R_err[..., 0, 0] + R_err[..., 1, 1] + R_err[..., 2, 2]
+    return np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+
+
+def scale_from_norm_ratio(points_est, points_gt):
+    """Average of per-point norm ratios (compute_scale,
+    my_utilities.cpp:226-242 — the reference's alternative scale
+    estimator, unused by icp_test)."""
+    n_est = np.linalg.norm(points_est, axis=-1)
+    n_gt = np.linalg.norm(points_gt, axis=-1)
+    ok = (n_est > 0) & (n_gt > 0)
+    if not ok.any():
+        return 1.0
+    return float(np.mean(n_gt[ok] / n_est[ok]))
+
+
 def metrics_dict(result: EvalResult) -> dict:
     return {
         "scale": result.scale,

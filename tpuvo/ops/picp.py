@@ -130,10 +130,13 @@ def one_round(
         K, T, world_pts, image_uv, corr_idx, corr_valid,
         width, height, cfg.kernel_threshold, cfg.keep_outliers,
     )
+    from tpuvo.ops.linalg_small import cholesky_solve6
+
     H = lin.H + cfg.damping * jnp.eye(6, dtype=lin.H.dtype)
     ok = lin.num_inliers >= cfg.min_num_inliers
-    c, low = jax.scipy.linalg.cho_factor(H)
-    dx = jax.scipy.linalg.cho_solve((c, low), -lin.b)
+    # unrolled closed-form Cholesky: the library factorization's loop nest
+    # costs serial microseconds per GN round on TPU (this runs ~20x/frame)
+    dx = cholesky_solve6(H, -lin.b)
     T_new = lie.v2t_euler(dx) @ T
     T_out = jnp.where(ok, T_new, T)
     return T_out, lin, ok

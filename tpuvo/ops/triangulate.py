@@ -25,19 +25,7 @@ def projection_matrix(K, camera_in_world_T):
     return K @ T_inv[:3, :4]
 
 
-def triangulate_dlt(P1, P2, uv1, uv2):
-    """Homogeneous DLT for batches of correspondences.
-
-    P1, P2: (3, 4) projection matrices; uv1, uv2: (N, 2) image points.
-    Returns (points (N, 3), w (N,) homogeneous scale, depth-free).
-
-    Per pair the classic system rows are u·P[2]-P[0] and v·P[2]-P[1] for
-    both views; X is the smallest right singular vector of the 4x4 A.  We
-    row-normalize A and take the smallest eigenvector of A^T A instead
-    (same vector; a symmetric 4x4 eigh vmaps cheaply on TPU, and the row
-    normalization recovers most of the conditioning that the squared
-    system loses in fp32).
-    """
+def _dlt_rows(P1, P2, uv1, uv2):
     def rows(P, uv):
         a = uv[:, 0:1] * P[2][None, :] - P[0][None, :]  # (N, 4)
         b = uv[:, 1:2] * P[2][None, :] - P[1][None, :]
@@ -46,7 +34,33 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     a1, b1 = rows(P1, uv1)
     a2, b2 = rows(P2, uv2)
     A = jnp.stack([a1, b1, a2, b2], axis=1)  # (N, 4, 4)
-    A = A / jnp.maximum(jnp.linalg.norm(A, axis=2, keepdims=True), 1e-20)
+    return A / jnp.maximum(jnp.linalg.norm(A, axis=2, keepdims=True), 1e-20)
+
+
+def triangulate_dlt(P1, P2, uv1, uv2, method: str = "inhomogeneous"):
+    """DLT for batches of correspondences.
+
+    P1, P2: (3, 4) projection matrices; uv1, uv2: (N, 2) image points.
+    Returns (points (N, 3), w (N,) degeneracy indicator: ~0 marks a
+    near-infinity point in either method).
+
+    Per pair the classic system rows are u·P[2]-P[0] and v·P[2]-P[1] for
+    both views.  ``homogeneous`` (the OpenCV formulation, cam.cpp:115)
+    takes the smallest eigenvector of the row-normalized A^T A — a 4x4
+    eigh, accurate but serial-latency-heavy on TPU.  ``inhomogeneous``
+    (default) fixes w = 1 and solves the 4x3 least-squares system with a
+    closed-form 3x3 adjugate solve — pure fused arithmetic, no
+    factorization loop; combined with the GN reprojection polish
+    (refine_points) the two are numerically equivalent away from the
+    degenerate w ~ 0 set, where both produce (the same kind of) garbage
+    that the reference also keeps unfiltered.
+    """
+    A = _dlt_rows(P1, P2, uv1, uv2)
+    if method == "inhomogeneous":
+        from tpuvo.ops.linalg_small import solve_dlt3
+
+        X, det = solve_dlt3(A)
+        return X, det
     AtA = jnp.einsum("nij,nik->njk", A, A)
     _, vecs = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     X = vecs[..., 0]  # (N, 4) smallest eigenvector
@@ -101,9 +115,11 @@ def refine_points(P1, P2, uv1, uv2, pts, iterations: int = 2, damping: float = 1
     def step(X):
         r, aux = residual(X)
         J = jacobian(X, aux)
+        from tpuvo.ops.linalg_small import solve3
+
         H = jnp.einsum("nki,nkj->nij", J, J) + damping * jnp.eye(3, dtype=X.dtype)
         g = jnp.einsum("nki,nk->ni", J, r)
-        dX = jnp.linalg.solve(H, -g[..., None])[..., 0]
+        dX = solve3(H, -g)
         X_new = X + dX
         r_new, _ = residual(X_new)
         better = (
@@ -117,7 +133,8 @@ def refine_points(P1, P2, uv1, uv2, pts, iterations: int = 2, damping: float = 1
     return pts
 
 
-def triangulate_two_view(K, T1, T2, uv1, uv2, refine_iterations: int = 2):
+def triangulate_two_view(K, T1, T2, uv1, uv2, refine_iterations: int = 2,
+                         method: str = "inhomogeneous"):
     """Triangulate correspondences seen from camera-in-world poses T1, T2.
 
     Mirrors Cam::triangulatePoints (cam.cpp:94-140): builds the two
@@ -126,7 +143,7 @@ def triangulate_two_view(K, T1, T2, uv1, uv2, refine_iterations: int = 2):
     """
     P1 = projection_matrix(K, T1)
     P2 = projection_matrix(K, T2)
-    pts, w = triangulate_dlt(P1, P2, uv1, uv2)
+    pts, w = triangulate_dlt(P1, P2, uv1, uv2, method)
     if refine_iterations:
         pts = refine_points(P1, P2, uv1, uv2, pts, refine_iterations)
     finite = jnp.abs(w) > 1e-12
