@@ -126,6 +126,19 @@ class EngineConfig:
 
     mode: str = "parity"  # "parity" | "fixed"
 
+    # Landmark quality gate for newly triangulated points.  The reference
+    # appends every DLT output unfiltered (cam.cpp:122-139) — low-parallax
+    # garbage landmarks included — which leaves the tracking loop marginally
+    # stable through the sparse mid-sequence section (frames with ~14 obs).
+    # Gating on cheirality + two-view reprojection error stabilizes the
+    # loop; OFF by default for reference parity (490-landmark map).
+    gate_new_landmarks: bool = False
+    landmark_max_reproj_px: float = 5.0
+    # minimum triangulation parallax (radians) between the two viewing rays:
+    # low-parallax points have unobservable depth (reprojection can't catch
+    # them — they fit both views by construction)
+    landmark_min_parallax_rad: float = 0.01
+
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     picp: PICPConfig = field(default_factory=PICPConfig)
     ransac: RansacConfig = field(default_factory=RansacConfig)

@@ -171,6 +171,32 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig) -> Tu
     pts, finite = triangulate.triangulate_two_view(
         K, state.pose, new_pose, curr.uv, uv_next
     )
+    if cfg.gate_new_landmarks:
+        from tpuvo.ops.camera import project_points
+
+        thr = cfg.landmark_max_reproj_px
+        uv1_re, ok1 = project_points(
+            K, lie.inv_se3(state.pose), pts, cfg.width, cfg.height
+        )
+        uv2_re, ok2 = project_points(
+            K, lie.inv_se3(new_pose), pts, cfg.width, cfg.height
+        )
+        e1 = jnp.sum((uv1_re - curr.uv) ** 2, -1)
+        e2 = jnp.sum((uv2_re - uv_next) ** 2, -1)
+        # parallax between the two viewing rays: low-parallax depth is
+        # unobservable and poisons later pose solves
+        c1 = state.pose[:3, 3]
+        c2 = new_pose[:3, 3]
+        r1 = pts - c1[None, :]
+        r2 = pts - c2[None, :]
+        cosang = jnp.sum(r1 * r2, -1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-20
+        )
+        parallax_ok = cosang < jnp.cos(cfg.landmark_min_parallax_rad)
+        is_new = (
+            is_new & ok1 & ok2 & (e1 < thr * thr) & (e2 < thr * thr)
+            & finite & parallax_ok
+        )
     state2, n_added = _append_to_map(
         state._replace(pose=new_pose),
         pts, curr.desc, curr.id_real, curr.id_meas, is_new,
