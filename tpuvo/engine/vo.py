@@ -129,8 +129,13 @@ def bootstrap(key, f0: Frame, f1: Frame, cfg: EngineConfig) -> Tuple[VOState, di
     return state, diag
 
 
-def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig) -> Tuple[VOState, FrameLog]:
-    """One tracking iteration (icp_test.cpp:61-136). Jittable, scannable."""
+def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
+               kernel_threshold=None) -> Tuple[VOState, FrameLog]:
+    """One tracking iteration (icp_test.cpp:61-136). Jittable, scannable.
+
+    kernel_threshold: optional traced scalar overriding cfg.picp's robust
+    threshold — lets a whole tracker run be vmapped over a threshold axis
+    (the batched inlier-rejection sweep)."""
     K = jnp.asarray(cfg.K())
 
     # --- 2D-3D: match next frame's descriptors against the map -----------
@@ -145,7 +150,7 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig) -> Tu
     T_init = lie.inv_se3(state.pose)  # world-in-camera initial guess
     sol = picp.solve(
         K, T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
-        cfg.width, cfg.height, cfg.picp,
+        cfg.width, cfg.height, cfg.picp, kernel_threshold,
     )
     new_pose = lie.inv_se3(sol.T)  # camera-in-world
     # graceful degradation: keep the previous pose on match starvation or a
@@ -252,3 +257,42 @@ def run_sequence(seq, cfg: EngineConfig | None = None, seed: int = 42):
 
     poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], logs.pose], axis=0)
     return state, logs, poses, diag
+
+
+def run_threshold_sweep(seq, thresholds, cfg: EngineConfig | None = None, seed: int = 42):
+    """Batched inlier-rejection sweep (BASELINE.json config 2): the FULL
+    tracker vmapped over a robust-kernel-threshold axis — e.g.
+    thresholds=[1000, 3000, 10000] runs as 3 lanes of ONE compiled program
+    (the bootstrap is threshold-independent and shared).
+
+    Returns (states, logs, poses) with a leading threshold axis.
+    """
+    cfg = cfg or EngineConfig()
+    key = jax.random.PRNGKey(seed)
+    F = seq.uv.shape[0]
+    thr = jnp.asarray(thresholds, jnp.float32)
+    B = thr.shape[0]
+
+    f0 = frame_of(seq, 0)
+    f1 = frame_of(seq, 1)
+    state, diag = jax.jit(lambda k, a, b: bootstrap(k, a, b, cfg))(key, f0, f1)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), state)
+
+    frames_curr = frames_of(seq, 0, F - 1)
+    frames_next = frames_of(seq, 1, F)
+
+    @jax.jit
+    def sweep(states, thr):
+        def one(state, t):
+            def step(s, fr):
+                c, n = fr
+                return track_step(s, c, n, cfg, kernel_threshold=t)
+
+            return jax.lax.scan(step, state, (frames_curr, frames_next))
+
+        return jax.vmap(one)(states, thr)
+
+    states, logs = sweep(states, thr)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32)[None, None], (B, 1, 4, 4))
+    poses = jnp.concatenate([eye, logs.pose], axis=1)
+    return states, logs, poses

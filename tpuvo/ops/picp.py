@@ -123,12 +123,16 @@ def linearize(
 
 def one_round(
     K, T, world_pts, image_uv, corr_idx, corr_valid,
-    width: int, height: int, cfg: PICPConfig,
+    width: int, height: int, cfg: PICPConfig, kernel_threshold=None,
 ):
-    """One GN round (picp_solver.cpp:93-105). Returns (T', Linearization, ok)."""
+    """One GN round (picp_solver.cpp:93-105). Returns (T', Linearization, ok).
+
+    kernel_threshold may be a traced scalar overriding cfg (enables the
+    vmapped threshold sweep, BASELINE.json config 2)."""
+    thr = cfg.kernel_threshold if kernel_threshold is None else kernel_threshold
     lin = linearize(
         K, T, world_pts, image_uv, corr_idx, corr_valid,
-        width, height, cfg.kernel_threshold, cfg.keep_outliers,
+        width, height, thr, cfg.keep_outliers,
     )
     from tpuvo.ops.linalg_small import cholesky_solve6
 
@@ -144,7 +148,7 @@ def one_round(
 
 def solve(
     K, T_init, world_pts, image_uv, corr_idx, corr_valid,
-    width: int, height: int, cfg: PICPConfig,
+    width: int, height: int, cfg: PICPConfig, kernel_threshold=None,
 ) -> PICPResult:
     """Full GN loop with the icp_test stopping rule (icp_test.cpp:88-107),
     compiled as a single lax.while_loop."""
@@ -156,7 +160,8 @@ def solve(
     def body(carry):
         T, prev, it, done, _n, _ci, _co, _conv = carry
         T2, lin, ok = one_round(
-            K, T, world_pts, image_uv, corr_idx, corr_valid, width, height, cfg
+            K, T, world_pts, image_uv, corr_idx, corr_valid, width, height,
+            cfg, kernel_threshold,
         )
         curr = lin.chi_inliers
         rel = jnp.where(prev > 1e-10, jnp.abs(prev - curr) / prev, 0.0)
