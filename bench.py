@@ -35,7 +35,10 @@ def main():
     from tpuvo.engine import vo
     from tpuvo.engine.eval import evaluate, metrics_dict
 
-    cfg = EngineConfig()
+    # "fixed" mode = production default: landmark parallax gating keeps the
+    # tracker robust through the sparse section on every backend (parity
+    # mode reproduces the reference's fragile unfiltered map; see README)
+    cfg = EngineConfig(mode=os.environ.get("TPUVO_BENCH_MODE", "fixed"))
     data_dir = os.environ.get("TPUVO_DATA", "/root/reference/data")
     if os.path.isdir(data_dir):
         seq = load_sequence(data_dir, cfg.n_frames)

@@ -129,10 +129,12 @@ class EngineConfig:
     # Landmark quality gate for newly triangulated points.  The reference
     # appends every DLT output unfiltered (cam.cpp:122-139) — low-parallax
     # garbage landmarks included — which leaves the tracking loop marginally
-    # stable through the sparse mid-sequence section (frames with ~14 obs).
-    # Gating on cheirality + two-view reprojection error stabilizes the
-    # loop; OFF by default for reference parity (490-landmark map).
-    gate_new_landmarks: bool = False
+    # stable through the sparse mid-sequence section (frames with ~14 obs):
+    # on TPU the slightly different fp path tipped the ungated loop into
+    # losing track there, while the gated loop beats the reference baseline
+    # on both platforms.  None = auto (enabled in "fixed" mode, disabled in
+    # "parity" mode, which must reproduce the 490-landmark map).
+    gate_new_landmarks: bool | None = None
     landmark_max_reproj_px: float = 5.0
     # minimum triangulation parallax (radians) between the two viewing rays:
     # low-parallax points have unobservable depth (reprojection can't catch
@@ -145,6 +147,12 @@ class EngineConfig:
     ba: BAConfig = field(default_factory=BAConfig)
 
     # ---- derived ---------------------------------------------------------
+    @property
+    def gating_enabled(self) -> bool:
+        if self.gate_new_landmarks is not None:
+            return self.gate_new_landmarks
+        return self.mode == "fixed"
+
     def K(self) -> np.ndarray:
         return np.array(
             [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],

@@ -176,7 +176,7 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     pts, finite = triangulate.triangulate_two_view(
         K, state.pose, new_pose, curr.uv, uv_next
     )
-    if cfg.gate_new_landmarks:
+    if cfg.gating_enabled:
         from tpuvo.ops.camera import project_points
 
         thr = cfg.landmark_max_reproj_px

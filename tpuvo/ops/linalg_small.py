@@ -61,14 +61,13 @@ def solve3(A, b):
     return jnp.einsum("...ij,...j->...i", inv3(A), b)
 
 
-def cholesky_solve6(H, b):
-    """Solve H x = b for symmetric positive-definite 6x6 H, fully unrolled.
+def cholesky_solve_unrolled(H, b, n: int):
+    """Solve H x = b for symmetric positive-definite (.., n, n) H with a
+    fully unrolled Cholesky (static n).
 
-    ~21 divisions + 6 rsqrts + ~70 multiply-adds of scalars; XLA fuses the
-    whole thing, vs. the library Cholesky's sequential loop nest.
-    Batched over leading dims.
+    Branch-free scalar arithmetic that XLA fuses, vs. the library
+    factorization's sequential loop nest.  Batched over leading dims.
     """
-    n = 6
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = H[..., j, j]
@@ -97,6 +96,32 @@ def cholesky_solve6(H, b):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return jnp.stack(x, axis=-1)
+
+
+def cholesky_solve6(H, b):
+    """Unrolled 6x6 SPD solve (PICP normal equations)."""
+    return cholesky_solve_unrolled(H, b, 6)
+
+
+def smallest_eigvec_inverse_iteration(A, iterations: int = 8, shift: float = 1e-6):
+    """Smallest eigenvector of symmetric PSD (.., n, n) A by inverse
+    iteration with an unrolled Cholesky solve per step.
+
+    Replaces a batched ``eigh`` in contexts where only the null-ish
+    direction is needed (8-point RANSAC hypothesis solves): each step
+    solves (A + shift·tr(A)·I) x = v and normalizes.  Deterministic start
+    (ones) — adequate when the smallest eigenvalue is well separated, which
+    RANSAC scoring tolerates by construction.
+    """
+    n = A.shape[-1]
+    batch = A.shape[:-2]
+    tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
+    Ad = A + shift * (tr + 1.0) * jnp.eye(n, dtype=A.dtype)
+    v = jnp.ones(batch + (n,), A.dtype)
+    for _ in range(iterations):
+        v = cholesky_solve_unrolled(Ad, v, n)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
 
 
 def solve_dlt3(A):

@@ -65,6 +65,20 @@ def essential_8pt(x1, x2, weights=None):
     return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
 
 
+def essential_8pt_fast(x1, x2):
+    """Hypothesis-grade 8-point solve for the RANSAC batch: smallest
+    eigenvector by unrolled-Cholesky inverse iteration, no manifold
+    projection (Sampson scoring ranks hypotheses fine without it, and the
+    winner is refit with the accurate path).  Replaces 512 batched 9x9
+    ``eigh`` + 3x3 SVD calls — the dominant bootstrap cost on TPU."""
+    from tpuvo.ops.linalg_small import smallest_eigvec_inverse_iteration
+
+    A = _epipolar_rows(x1, x2)  # (S, 9)
+    AtA = A.T @ A
+    e = smallest_eigvec_inverse_iteration(AtA)
+    return e.reshape(3, 3)
+
+
 def sampson_error(E, x1, x2):
     """First-order geometric (Sampson) epipolar error in normalized coords."""
     x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], -1)  # (N, 3)
@@ -101,7 +115,7 @@ def ransac_essential(key, x1, x2, valid, cfg: RansacConfig, focal: float) -> Ran
 
     sx1 = x1[sample_idx]  # (H, S, 2)
     sx2 = x2[sample_idx]
-    Es = jax.vmap(essential_8pt)(sx1, sx2)  # (H, 3, 3)
+    Es = jax.vmap(essential_8pt_fast)(sx1, sx2)  # (H, 3, 3)
 
     thr = (cfg.inlier_threshold_px / focal) ** 2
     errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, N)
