@@ -1,0 +1,58 @@
+"""Fault-injection robustness tests: the engine degrades gracefully where
+the reference would exit(EXIT_FAILURE) or silently derail."""
+
+import numpy as np
+import pytest
+
+from tpuvo.config import EngineConfig, PICPConfig
+from tpuvo.data import synthetic
+from tpuvo.engine.eval import evaluate, metrics_dict
+from tpuvo.engine.vo import run_sequence
+from tpuvo.utils import faults
+from tpuvo.utils.checks import validate_state
+
+
+@pytest.fixture(scope="module")
+def clean_seq():
+    cfg = EngineConfig()
+    world = synthetic.make_world(11, n_landmarks=800, xy_extent=8.0)
+    gt = synthetic.make_planar_trajectory(30, seed=11)
+    return synthetic.render_sequence(world, gt, cfg, pixel_noise=0.2, seed=11), gt
+
+
+def run(seq, gt, **cfg_kw):
+    cfg = EngineConfig(
+        mode="fixed",
+        picp=PICPConfig(min_matches_reuse_pose=10),
+        **cfg_kw,
+    )
+    state, logs, poses, diag = run_sequence(seq, cfg)
+    validate_state(state)
+    return metrics_dict(evaluate(poses, gt, cfg)), state
+
+
+def test_outlier_pixels_tolerated(clean_seq):
+    seq, gt = clean_seq
+    bad = faults.corrupt_pixels(seq, fraction=0.1, magnitude=150.0, seed=1)
+    m, state = run(bad, gt)
+    assert np.isfinite(m["ate_rmse"])
+    assert m["ate_rmse"] < 0.5
+
+
+def test_corrupted_descriptors_tolerated(clean_seq):
+    seq, gt = clean_seq
+    bad = faults.corrupt_descriptors(seq, fraction=0.2, sigma=2.0, seed=2)
+    m, state = run(bad, gt)
+    assert np.isfinite(m["ate_rmse"])
+    assert m["ate_rmse"] < 0.5
+
+
+def test_dropped_frame_does_not_crash(clean_seq):
+    """A fully dropped frame yields zero matches; the engine keeps the last
+    pose and keeps going (the reference would derail)."""
+    seq, gt = clean_seq
+    bad = faults.drop_frames(seq, [12], seed=3)
+    m, state = run(bad, gt)
+    assert np.isfinite(m["ate_rmse"])
+    # trajectory after the gap recovers to something sane
+    assert m["ate_rmse"] < 1.0
