@@ -35,10 +35,17 @@ def main():
     from tpuvo.engine import vo
     from tpuvo.engine.eval import evaluate, metrics_dict
 
+    from tpuvo.config import MatcherConfig
+
     # "fixed" mode = production default: landmark parallax gating keeps the
     # tracker robust through the sparse section on every backend (parity
-    # mode reproduces the reference's fragile unfiltered map; see README)
-    cfg = EngineConfig(mode=os.environ.get("TPUVO_BENCH_MODE", "fixed"))
+    # mode reproduces the reference's fragile unfiltered map; see README).
+    # MXU matcher: the distance computation rides the systolic array —
+    # the VPU diff-expansion was the batched tracker's throughput ceiling.
+    cfg = EngineConfig(
+        mode=os.environ.get("TPUVO_BENCH_MODE", "fixed"),
+        matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "mxu")),
+    )
     data_dir = os.environ.get("TPUVO_DATA", "/root/reference/data")
     if os.path.isdir(data_dir):
         seq = load_sequence(data_dir, cfg.n_frames)

@@ -22,6 +22,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS=cpu even under the TPU plugin's sitecustomize, which
+# re-pins the platform during registration
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def build_problem(W: int, L: int, obs_per_frame: int, seed: int = 0):
     import jax.numpy as jnp

@@ -33,10 +33,18 @@ N_GT_LANDMARKS = 1000  # world.dat size
 
 @dataclass(frozen=True)
 class MatcherConfig:
-    """Brute-force descriptor matcher thresholds (my_utilities.h:44-47)."""
+    """Brute-force descriptor matcher thresholds (my_utilities.h:44-47).
+
+    method: "direct" expands (a-b)^2 on the VPU — bit-faithful to the
+    reference's per-pair squaredNorm; "mxu" uses |a|^2+|b|^2-2ab with the
+    inner product on the MXU — ~10x cheaper at batch scale (the matcher is
+    the throughput ceiling of the batched tracker), with decision parity on
+    this data (tested) but theoretical near-tie flips.
+    """
 
     distance_threshold: float = 0.2   # squared-L2 acceptance (DISTANCE_THRESHOLD)
     ratio_threshold: float = 0.8      # Lowe's ratio test (RATIO_THRESHOLD)
+    method: str = "direct"
 
 
 @dataclass(frozen=True)

@@ -107,6 +107,7 @@ def bootstrap(key, f0: Frame, f1: Frame, cfg: EngineConfig) -> Tuple[VOState, di
     res = match_descriptors(
         f0.desc, f0.valid, f1.desc, f1.valid,
         cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+        cfg.matcher.method,
     )
     uv2 = f1.uv[res.idx]
     T_boot, rres, pres = twoview.bootstrap_pose(
@@ -142,6 +143,7 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     m_map = match_descriptors(
         nxt.desc, nxt.valid, state.map_desc, state.map_valid,
         cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+        cfg.matcher.method,
     )
     map_ids = state.map_id_real[m_map.idx]
     n_map_correct = jnp.sum(m_map.valid & (nxt.id_real == map_ids))
@@ -165,6 +167,7 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     m_img = match_descriptors(
         curr.desc, curr.valid, nxt.desc, nxt.valid,
         cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+        cfg.matcher.method,
     )
     # add_new_world_points (my_utilities.cpp:413-434): keep 2D-2D matches
     # whose *next*-frame point was not matched to the map
