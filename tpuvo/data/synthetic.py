@@ -58,6 +58,28 @@ def make_planar_trajectory(
     return poses
 
 
+def make_kitti_like_trajectory(
+    n_frames: int, step: float = 1.0, seed: int = 0
+) -> np.ndarray:
+    """KITTI-odometry-flavored planar path: long straights (~1 m/frame) with
+    occasional 90-degree-ish turns (BASELINE.json config 4 is 'KITTI seq 00
+    with synthetic keypoints' — the dataset itself is not bundled, so this
+    is the synthetic stand-in at the same motion scale)."""
+    rng = np.random.default_rng(seed)
+    poses = np.zeros((n_frames, 3), np.float32)
+    turn_until = -1
+    turn_rate = 0.0
+    for i in range(1, n_frames):
+        x, y, th = poses[i - 1]
+        if i > turn_until and rng.random() < 0.02:
+            turn_until = i + rng.integers(15, 30)
+            turn_rate = rng.choice([-1.0, 1.0]) * (np.pi / 2) / (turn_until - i)
+        rate = turn_rate if i <= turn_until else 0.0
+        th = th + rate + 0.002 * rng.standard_normal()
+        poses[i] = [x + step * np.cos(th), y + step * np.sin(th), th]
+    return poses
+
+
 def camera_pose_from_gt(gt_xyt: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     """Camera-in-world 4x4 from a planar robot pose (see module docstring)."""
     x, y, th = float(gt_xyt[0]), float(gt_xyt[1]), float(gt_xyt[2])
