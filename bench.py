@@ -40,11 +40,11 @@ def main():
     # "fixed" mode = production default: landmark parallax gating keeps the
     # tracker robust through the sparse section on every backend (parity
     # mode reproduces the reference's fragile unfiltered map; see README).
-    # MXU matcher: the distance computation rides the systolic array —
-    # the VPU diff-expansion was the batched tracker's throughput ceiling.
+    # Matcher "direct" measured faster than "mxu" at the bundled 512-map
+    # size (55 vs 125 us at batch 128) — the MXU path wins on big maps.
     cfg = EngineConfig(
         mode=os.environ.get("TPUVO_BENCH_MODE", "fixed"),
-        matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "mxu")),
+        matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "direct")),
     )
     data_dir = os.environ.get("TPUVO_DATA", "/root/reference/data")
     if os.path.isdir(data_dir):

@@ -77,11 +77,12 @@ def linearize(
     """Masked batch linearization (the reference's per-point loop,
     picp_solver.cpp:56-91, as one fused pass).
 
-    world_pts: (M, 3) map positions; image_uv: (N, 2) measurements;
-    corr_idx: (N,) index into world_pts for each measurement;
-    corr_valid: (N,) correspondence mask.
+    world_pts: (M, 3) map positions — OR pre-gathered (N, 3) points when
+    corr_idx is None (the GN loop hoists the gather out of the iteration);
+    image_uv: (N, 2) measurements; corr_idx: (N,) index into world_pts for
+    each measurement; corr_valid: (N,) correspondence mask.
     """
-    X = world_pts[corr_idx]  # (N, 3)
+    X = world_pts if corr_idx is None else world_pts[corr_idx]  # (N, 3)
     uv, proj_ok, p_cam, phom = project_points_with_cam(K, T, X, width, height)
     e = uv - image_uv  # (N, 2)
 
@@ -152,6 +153,11 @@ def solve(
 ) -> PICPResult:
     """Full GN loop with the icp_test stopping rule (icp_test.cpp:88-107),
     compiled as a single lax.while_loop."""
+    # hoist the correspondence gather out of the GN loop — X is constant
+    # across iterations
+    if corr_idx is not None:
+        world_pts = world_pts[corr_idx]
+        corr_idx = None
 
     def cond(carry):
         T, prev, it, done, *_ = carry
@@ -184,6 +190,9 @@ def solve_fixed_rounds(
 ):
     """The Cam::oneRound variant: exactly ``rounds`` GN rounds, no
     convergence check (cam.cpp:214-216, used by the vo.cpp driver)."""
+    if corr_idx is not None:
+        world_pts = world_pts[corr_idx]
+        corr_idx = None
 
     def body(_, carry):
         T, *_ = carry
