@@ -75,13 +75,30 @@ def _append_to_map(state: VOState, xyz, desc, id_real, id_meas, new_mask) -> Tup
     offs = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # position among kept
     pos = state.map_count + offs
     ok = new_mask & (pos < C)
-    # invalid rows scatter to index C (dropped via mode='drop')
+    # One-hot matmul scatter: TPU scatters serialize (~1.6 ms/frame at
+    # batch scale); target positions are unique, so the append is exactly
+    # a (C, N) one-hot times the value rows — MXU work instead.
     tgt = jnp.where(ok, pos, C)
-    map_xyz = state.map_xyz.at[tgt].set(xyz, mode="drop")
-    map_desc = state.map_desc.at[tgt].set(desc, mode="drop")
-    map_id_real = state.map_id_real.at[tgt].set(id_real, mode="drop")
-    map_id_meas = state.map_id_meas.at[tgt].set(id_meas, mode="drop")
-    map_valid = state.map_valid.at[tgt].set(True, mode="drop")
+    slots = jnp.arange(C, dtype=jnp.int32)
+    onehot = (slots[:, None] == tgt[None, :]).astype(xyz.dtype)  # (C, N)
+    hit = jnp.sum(onehot, axis=1)  # (C,) 0/1
+    keep = 1.0 - hit
+
+    def scatter_f(old, vals):
+        upd = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
+        return old * keep[:, None] + upd
+
+    def scatter_i(old, vals):
+        # int ids are small (< 2^24) — exact through the f32 matmul
+        upd = jnp.dot(onehot, vals.astype(jnp.float32)[:, None],
+                      preferred_element_type=jnp.float32)[:, 0]
+        return jnp.where(hit > 0.5, jnp.round(upd).astype(old.dtype), old)
+
+    map_xyz = scatter_f(state.map_xyz, xyz)
+    map_desc = scatter_f(state.map_desc, desc)
+    map_id_real = scatter_i(state.map_id_real, id_real)
+    map_id_meas = scatter_i(state.map_id_meas, id_meas)
+    map_valid = state.map_valid | (hit > 0.5)
     n_added = jnp.sum(ok).astype(jnp.int32)
     return (
         state._replace(
