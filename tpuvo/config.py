@@ -144,6 +144,10 @@ class EngineConfig:
     # "parity" mode, which must reproduce the 490-landmark map).
     gate_new_landmarks: bool | None = None
     landmark_max_reproj_px: float = 5.0
+    # GN polish iterations after the DLT (ops/triangulate.refine_points);
+    # 1 suffices with the landmark gate (measured: equal-or-better accuracy
+    # at ~1.3 ms/frame less at batch scale)
+    triangulation_refine_iters: int = 2
     # minimum triangulation parallax (radians) between the two viewing rays:
     # low-parallax points have unobservable depth (reprojection can't catch
     # them — they fit both views by construction)

@@ -132,7 +132,8 @@ def bootstrap(key, f0: Frame, f1: Frame, cfg: EngineConfig) -> Tuple[VOState, di
     )
     # triangulate ALL matches (no inlier mask — cam.cpp:94-140 quirk)
     pts, finite = triangulate.triangulate_two_view(
-        K, jnp.eye(4, dtype=jnp.float32), T_boot, f0.uv, uv2
+        K, jnp.eye(4, dtype=jnp.float32), T_boot, f0.uv, uv2,
+        refine_iterations=cfg.triangulation_refine_iters,
     )
     state = empty_state(cfg)
     state, n_added = _append_to_map(
@@ -194,7 +195,8 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     # --- triangulate the new points (cam.cpp:94-140) ----------------------
     uv_next = nxt.uv[m_img.idx]
     pts, finite = triangulate.triangulate_two_view(
-        K, state.pose, new_pose, curr.uv, uv_next
+        K, state.pose, new_pose, curr.uv, uv_next,
+        refine_iterations=cfg.triangulation_refine_iters,
     )
     if cfg.gating_enabled:
         from tpuvo.ops.camera import project_points
