@@ -47,10 +47,11 @@ def main():
     cfg = EngineConfig(
         mode=os.environ.get("TPUVO_BENCH_MODE", "fixed"),
         matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "direct")),
-        # fast profile (measured equal-or-better accuracy in fixed mode):
-        # rel-chi 1e-4 (mean 5 GN iters vs 7.6) + single GN polish iteration
+        # fast profile: rel-chi 1e-4 (mean 5 GN iters vs 7.6, no accuracy
+        # cost); keep 2 triangulation polish iterations — dropping to 1
+        # was fine on CPU but cost ~0.05 ATE on the TPU fp path
         picp=PICPConfig(convergence_threshold=1e-4),
-        triangulation_refine_iters=1,
+        triangulation_refine_iters=int(os.environ.get("TPUVO_BENCH_REFINE", "2")),
     )
     data_dir = os.environ.get("TPUVO_DATA", "/root/reference/data")
     if os.path.isdir(data_dir):
