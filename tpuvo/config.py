@@ -148,6 +148,11 @@ class EngineConfig:
     # 1 suffices with the landmark gate (measured: equal-or-better accuracy
     # at ~1.3 ms/frame less at batch scale)
     triangulation_refine_iters: int = 2
+    # Candidate rows are compacted to this many slots before triangulation
+    # (the dataset peaks at 21 new landmarks/frame; triangulating all 128
+    # padded rows wasted ~4x the DLT+refine work). Extras beyond the cap
+    # are dropped for that frame.
+    max_new_landmarks_per_frame: int = 32
     # minimum triangulation parallax (radians) between the two viewing rays:
     # low-parallax points have unobservable depth (reprojection can't catch
     # them — they fit both views by construction)
