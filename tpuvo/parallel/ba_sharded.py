@@ -60,7 +60,8 @@ class ShardedBAProblem(NamedTuple):
     obs_lm: jnp.ndarray
     obs_valid: jnp.ndarray
     fixed: jnp.ndarray
-    lm_perm: np.ndarray
+    lm_perm: np.ndarray   # (S, Ls) new-local -> original-local (host bookkeeping)
+    active: int = 0       # static: per-shard observed-landmark prefix length
 
 
 def shard_ba_problem(problem: BAProblem, n_shards: int, obs_pad_to: int | None = None) -> ShardedBAProblem:
@@ -103,24 +104,54 @@ def shard_ba_problem(problem: BAProblem, n_shards: int, obs_pad_to: int | None =
             s_lm[s, f, :n] = local[f, rows]
             s_valid[s, f, :n] = True
 
+    # Active-first renumbering: each shard's OBSERVED landmarks move to the
+    # front of its local index space, so the per-iteration Schur assembly
+    # (Hll/Wfl/back-substitution) only touches an O(#local obs) prefix
+    # instead of all Ls slots — the difference between O(L·W) and
+    # O(obs·W) work at 100k+ landmarks.
+    pts_sh = pts_pad.reshape(n_shards, Ls, 3).copy()
+    pv_sh = pv_pad.reshape(n_shards, Ls).copy()
+    lm_perm = np.zeros((n_shards, Ls), np.int64)  # new local -> original local
+    max_active = 8
+    for s in range(n_shards):
+        seen = np.unique(s_lm[s][s_valid[s]])
+        rest = np.setdiff1d(np.arange(Ls), seen, assume_unique=False)
+        perm = np.concatenate([seen, rest])
+        lm_perm[s] = perm
+        inv = np.empty(Ls, np.int64)
+        inv[perm] = np.arange(Ls)
+        s_lm[s] = inv[s_lm[s]].astype(np.int32)
+        pts_sh[s] = pts_sh[s][perm]
+        pv_sh[s] = pv_sh[s][perm]
+        max_active = max(max_active, len(seen))
+    active = min(Ls, -(-max_active // 8) * 8)
+
     return ShardedBAProblem(
         poses=jnp.asarray(poses),
-        points=jnp.asarray(pts_pad.reshape(n_shards, Ls, 3)),
-        point_valid=jnp.asarray(pv_pad.reshape(n_shards, Ls)),
+        points=jnp.asarray(pts_sh),
+        point_valid=jnp.asarray(pv_sh),
         obs_uv=jnp.asarray(s_uv),
         obs_lm=jnp.asarray(s_lm),
         obs_valid=jnp.asarray(s_valid),
         fixed=jnp.asarray(np.asarray(problem.fixed)),
-        lm_perm=np.arange(L_pad),
+        lm_perm=lm_perm,
+        active=active,
     )
 
 
 def _local_step(poses, points, point_valid, obs_uv, obs_lm, obs_valid, fixed,
-                K, width, height, cfg: BAConfig, axis: str):
-    """Per-shard BA iteration body (runs under shard_map)."""
+                K, width, height, cfg: BAConfig, axis: str, active: int = 0):
+    """Per-shard BA iteration body (runs under shard_map).
+
+    ``active``: observed landmarks occupy the first ``active`` local slots
+    (see shard_ba_problem's renumbering); the Schur assembly and
+    back-substitution run on that prefix only."""
+    La = active if active else points.shape[0]
+    pts_act = points[:La]
+    pv_act = point_valid[:La]
     local = BAProblem(
-        poses=poses, points=points, obs_uv=obs_uv, obs_lm=obs_lm,
-        obs_valid=obs_valid, point_valid=point_valid, fixed=fixed,
+        poses=poses, points=pts_act, obs_uv=obs_uv, obs_lm=obs_lm,
+        obs_valid=obs_valid, point_valid=pv_act, fixed=fixed,
     )
     Hpp, bp, Hll, bl, Wfl, stats = linearize_ba(local, K, width, height, cfg)
     S_c, b_c, _ = schur_parts(Hpp, bp, Hll, bl, Wfl, cfg.damping)
@@ -141,8 +172,9 @@ def _local_step(poses, points, point_valid, obs_uv, obs_lm, obs_valid, fixed,
     new_poses = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_p, poses)
     new_poses = jnp.where(fixed[:, None, None], poses, new_poses)
     touched = Hll[:, 0, 0] + Hll[:, 1, 1] + Hll[:, 2, 2] > 0
-    upd = point_valid & touched
-    new_points = jnp.where(upd[:, None], points + dx_l, points)
+    upd = pv_act & touched
+    new_active = jnp.where(upd[:, None], pts_act + dx_l, pts_act)
+    new_points = jnp.concatenate([new_active, points[La:]], axis=0)
 
     stats = BAStats(
         chi=jax.lax.psum(stats.chi, axis),
@@ -166,7 +198,7 @@ def sharded_ba_step(mesh, sp: ShardedBAProblem, K, width, height, cfg: BAConfig,
     def step(poses, points, point_valid, obs_uv, obs_lm, obs_valid, fixed):
         new_poses, new_points, stats = _local_step(
             poses, points[0], point_valid[0], obs_uv[0], obs_lm[0],
-            obs_valid[0], fixed, K, width, height, cfg, axis,
+            obs_valid[0], fixed, K, width, height, cfg, axis, sp.active,
         )
         return new_poses, new_points[None], stats
 
@@ -193,7 +225,7 @@ def sharded_ba_solve(mesh, sp: ShardedBAProblem, K, width, height, cfg: BAConfig
             ps, pt, _ = carry
             ps2, pt2, stats = _local_step(
                 ps, pt, point_valid[0], obs_uv[0], obs_lm[0], obs_valid[0],
-                fixed, K, width, height, cfg, axis,
+                fixed, K, width, height, cfg, axis, sp.active,
             )
             return ps2, pt2, stats
 
@@ -211,6 +243,11 @@ def sharded_ba_solve(mesh, sp: ShardedBAProblem, K, width, height, cfg: BAConfig
 
 
 def gather_points(sp: ShardedBAProblem, L: int):
-    """Collect the sharded landmark estimates back to a (L, 3) array."""
-    pts = np.asarray(sp.points).reshape(-1, 3)
-    return pts[:L]
+    """Collect the sharded landmark estimates back to a (L, 3) array,
+    undoing the active-first renumbering."""
+    pts_sh = np.asarray(sp.points)  # (S, Ls, 3)
+    S, Ls, _ = pts_sh.shape
+    out = np.zeros((S * Ls, 3), pts_sh.dtype)
+    for s in range(S):
+        out[s * Ls + np.asarray(sp.lm_perm[s])] = pts_sh[s]
+    return out[:L]
