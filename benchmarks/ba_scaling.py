@@ -108,14 +108,17 @@ def bench_sharded(n_devices, W=10, L=100_000, obs=128, iters=10, reps=3):
     K = jnp.asarray(cfg.K())
     sp = shard_ba_problem(prob, n_devices)
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("lm",))
-    jax.block_until_ready(
-        sharded_ba_solve(mesh, sp, K, cfg.width, cfg.height, ba_cfg)[0].poses
-    )
+
+    @jax.jit
+    def solve(poses, points):
+        sp2 = sp._replace(poses=poses, points=points)
+        out, stats = sharded_ba_solve(mesh, sp2, K, cfg.width, cfg.height, ba_cfg)
+        return out.poses, out.points
+
+    jax.block_until_ready(solve(sp.poses, sp.points)[0])
     t0 = time.perf_counter()
     for _ in range(reps):
-        jax.block_until_ready(
-            sharded_ba_solve(mesh, sp, K, cfg.width, cfg.height, ba_cfg)[0].poses
-        )
+        jax.block_until_ready(solve(sp.poses, sp.points)[0])
     dt = (time.perf_counter() - t0) / reps
     return iters / dt
 
