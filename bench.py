@@ -94,7 +94,7 @@ def main():
     fps_latency = F / lat_s
 
     # ---- throughput mode: vmapped batch of sequences ---------------------
-    B = int(os.environ.get("TPUVO_BENCH_BATCH", "32"))
+    B = int(os.environ.get("TPUVO_BENCH_BATCH", "256"))
 
     def batched(k, bf0, bf1, bc, bn):
         s, _ = jax.vmap(lambda kk, a, b: vo.bootstrap(kk, a, b, cfg))(k, bf0, bf1)

@@ -140,6 +140,43 @@ def cmd_ba(args):
     }, indent=2))
 
 
+def cmd_sweep(args):
+    """Batched inlier-rejection sweep (BASELINE config 2)."""
+    from tpuvo.engine.eval import evaluate, metrics_dict
+    from tpuvo.engine.vo import run_threshold_sweep
+
+    cfg, seq = _load(args)
+    thresholds = [float(t) for t in args.thresholds.split(",")]
+    states, logs, poses = run_threshold_sweep(seq, thresholds, cfg, seed=args.seed)
+    out = {}
+    for i, t in enumerate(thresholds):
+        m = metrics_dict(evaluate(np.asarray(poses[i]), seq.gt_pose, cfg))
+        out[str(t)] = {**m, "map_count": int(states.map_count[i])}
+    print(json.dumps(out, indent=2))
+
+
+def cmd_refine(args):
+    """Tracking + windowed BA refinement over the whole trajectory."""
+    from tpuvo.config import BAConfig
+    from tpuvo.engine.ba_refine import refine_trajectory
+    from tpuvo.engine.drivers import run_icp
+    from tpuvo.engine.eval import evaluate, metrics_dict
+
+    cfg, seq = _load(args)
+    state, logs, poses, diag = run_icp(seq, cfg, seed=args.seed)
+    m0 = metrics_dict(evaluate(poses, seq.gt_pose, cfg))
+    poses2, points2, stats = refine_trajectory(
+        state, seq, poses, cfg,
+        BAConfig(window=args.window, iterations=args.iterations),
+    )
+    m1 = metrics_dict(evaluate(poses2, seq.gt_pose, cfg))
+    print(json.dumps({
+        "tracked": m0, "refined": m1,
+        "windows": len(stats),
+        "skipped": sum(s.get("skipped", False) for s in stats),
+    }, indent=2))
+
+
 def cmd_bench(args):
     import bench
 
@@ -164,6 +201,13 @@ def main(argv=None):
     s.add_argument("--window-start", type=int, default=0)
     s.add_argument("--iterations", type=int, default=10)
     s.set_defaults(fn=cmd_ba)
+    s = sub.add_parser("sweep")
+    s.add_argument("--thresholds", default="1000,3000,10000")
+    s.set_defaults(fn=cmd_sweep)
+    s = sub.add_parser("refine")
+    s.add_argument("--window", type=int, default=10)
+    s.add_argument("--iterations", type=int, default=8)
+    s.set_defaults(fn=cmd_refine)
     s = sub.add_parser("bench"); s.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
