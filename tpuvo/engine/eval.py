@@ -112,6 +112,37 @@ def write_outputs(out_dir: str, result: EvalResult, state=None, cfg=None):
                 f.write(f"{wid} {p[0]:g} {p[1]:g} {p[2]:g}\n")
 
 
+def rpe(poses_world, gt_T, delta: int = 1, scale: float = 1.0,
+        cam_to_image=None):
+    """Relative pose error over frame gaps of ``delta``.
+
+    Returns (trans_rmse, rot_rmse) of the relative-motion discrepancy
+    E_i = (Q_i^-1 Q_{i+d})^-1 (P_i^-1 P_{i+d}) with est translations scaled.
+
+    poses_world are axis-remapped C·T_est; the constant C cancels in the
+    relative TRANSLATION magnitudes but leaves relative rotations expressed
+    in camera axes — they are conjugated back to world axes before
+    comparison (C defaults to the parity-mode mount from EngineConfig).
+    """
+    if cam_to_image is None:
+        cam_to_image = EngineConfig().cam_to_image()
+    C = cam_to_image[:3, :3]
+    P = poses_world.copy()
+    P[:, :3, 3] *= scale
+    Q = gt_T
+
+    def rel(T):
+        return np.einsum("fij,fjk->fik", np.linalg.inv(T[:-delta]), T[delta:])
+
+    dP, dQ = rel(P), rel(Q)
+    # conjugate/rotate relative est motion from camera axes to world axes
+    dP_R = np.einsum("ij,fjk,lk->fil", C, dP[:, :3, :3], C)
+    dP_t = np.einsum("ij,fj->fi", C, dP[:, :3, 3])
+    t_err = np.linalg.norm(dP_t - dQ[:, :3, 3], axis=1)
+    r_err = rotation_error_geodesic(dP_R, dQ[:, :3, :3])
+    return float(np.sqrt((t_err**2).mean())), float(np.sqrt((r_err**2).mean()))
+
+
 def rotation_error_geodesic(R_est, R_gt):
     """Geodesic angle between rotations (computeRotationError,
     my_utilities.cpp:400-410 — declared-and-unused in the reference's
@@ -134,9 +165,12 @@ def scale_from_norm_ratio(points_est, points_gt):
 
 
 def metrics_dict(result: EvalResult) -> dict:
+    rpe_t, rpe_r = rpe(result.poses_world, result.gt_T, scale=result.scale)
     return {
         "scale": result.scale,
         "ate_rmse": result.ate_rmse,
+        "rpe_trans_rmse": rpe_t,
+        "rpe_rot_rmse": rpe_r,
         "trans_err_mean": float(result.trans_err.mean()),
         "trans_err_max": float(result.trans_err.max()),
         "trans_err_final": float(result.trans_err[-1]),
