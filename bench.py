@@ -49,9 +49,23 @@ def main():
         matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "direct")),
         # fast profile: rel-chi 1e-4 (mean 5 GN iters vs 7.6, no accuracy
         # cost); keep 2 triangulation polish iterations — dropping to 1
-        # was fine on CPU but cost ~0.05 ATE on the TPU fp path
-        picp=PICPConfig(convergence_threshold=1e-4),
+        # was fine on CPU but cost ~0.05 ATE on the TPU fp path.
+        # GN stays a while_loop: unrolled_rounds=8 costs the batched path
+        # 28% (fixed 8 rounds vs ~5 adaptive; measured 26.0k vs 36.0k fps).
+        picp=PICPConfig(
+            convergence_threshold=1e-4,
+            unrolled_rounds=int(os.environ.get("TPUVO_BENCH_GN_UNROLL", "0")),
+        ),
         triangulation_refine_iters=int(os.environ.get("TPUVO_BENCH_REFINE", "2")),
+    )
+    # latency mode benefits from unrolling the frame scan (XLA schedules
+    # across step bodies: +12-41% single-sequence fps, run-to-run noisy);
+    # the batched path doesn't (36.2k vs 36.0k at unroll 2 — noise), so the
+    # throughput cfg keeps unroll=1 and its cheaper compile.
+    import dataclasses
+
+    cfg_lat = dataclasses.replace(
+        cfg, scan_unroll=int(os.environ.get("TPUVO_BENCH_SCAN_UNROLL", "4"))
     )
     data_dir = os.environ.get("TPUVO_DATA", "/root/reference/data")
     if os.path.isdir(data_dir):
@@ -80,9 +94,11 @@ def main():
     acc = metrics_dict(res)
 
     # ---- latency mode ----------------------------------------------------
+    tracker_lat = vo.make_tracker(cfg_lat)
+
     def run_once():
         s, _ = boot(key, f0, f1)
-        s, lg = tracker(s, frames_curr, frames_next)
+        s, lg = tracker_lat(s, frames_curr, frames_next)
         jax.block_until_ready(lg.pose)
 
     run_once()  # warm
@@ -99,7 +115,8 @@ def main():
     def batched(k, bf0, bf1, bc, bn):
         s, _ = jax.vmap(lambda kk, a, b: vo.bootstrap(kk, a, b, cfg))(k, bf0, bf1)
         s, lg = jax.vmap(lambda st, c, n: jax.lax.scan(
-            lambda ss, fr: vo.track_step(ss, fr[0], fr[1], cfg), st, (c, n)
+            lambda ss, fr: vo.track_step(ss, fr[0], fr[1], cfg), st, (c, n),
+            unroll=cfg.scan_unroll,
         ))(s, bc, bn)
         return lg.pose
 

@@ -230,3 +230,64 @@ def test_jit_and_grad_safe():
     )
     res = f(jnp.eye(4))
     assert np.all(np.isfinite(np.asarray(res.T)))
+
+
+def test_unrolled_matches_while_loop():
+    """solve_unrolled (static round count, done-mask select) must agree with
+    the lax.while_loop driver whenever the loop converges within the cap."""
+    pts, obs, T_gt, T0 = make_problem(noise=0.3, pose_err=0.08)
+    cfg = PICPConfig(convergence_threshold=1e-4)
+    args = (
+        jnp.asarray(K), jnp.asarray(T0), jnp.asarray(pts), jnp.asarray(obs),
+        jnp.arange(len(pts), dtype=jnp.int32), jnp.ones(len(pts), bool),
+        CFG.width, CFG.height, cfg,
+    )
+    ref = picp.solve(*args)
+    assert bool(ref.converged) and int(ref.iterations) <= 12
+    unr = picp.solve_unrolled(*args, rounds=12)
+    np.testing.assert_allclose(np.asarray(unr.T), np.asarray(ref.T), atol=1e-6)
+    assert int(unr.iterations) == int(ref.iterations)
+    assert int(unr.num_inliers) == int(ref.num_inliers)
+    assert bool(unr.converged)
+    # different fusion ⇒ fp reassociation in the chi reduction: 1e-5-level
+    np.testing.assert_allclose(
+        float(unr.chi_inliers), float(ref.chi_inliers), rtol=1e-4
+    )
+    # cap smaller than convergence: pose keeps the last computed update and
+    # the converged flag reports the truth
+    short = picp.solve_unrolled(*args, rounds=2)
+    assert int(short.iterations) == 2
+    assert not bool(short.converged)
+
+
+def test_unrolled_through_track_step():
+    """The engine branch (cfg.picp.unrolled_rounds > 0) produces the same
+    trajectory as the while_loop path on a synthetic sequence."""
+    from tpuvo.config import EngineConfig
+    from tpuvo.data import synthetic
+    from tpuvo.engine import vo
+
+    ecfg = EngineConfig(mode="fixed")
+    world = synthetic.make_world(3, n_landmarks=600, xy_extent=6.0)
+    gt = synthetic.make_planar_trajectory(8, step=0.2, turn=0.04, seed=3)
+    seq = synthetic.render_sequence(world, gt, ecfg, pixel_noise=0.1, seed=3)
+    key = jax.random.PRNGKey(0)
+
+    def run(cfg):
+        f0, f1 = vo.frame_of(seq, 0), vo.frame_of(seq, 1)
+        state, _ = jax.jit(lambda k, a, b: vo.bootstrap(k, a, b, cfg))(key, f0, f1)
+        tracker = vo.make_tracker(cfg)
+        _, logs = tracker(state, vo.frames_of(seq, 0, 7), vo.frames_of(seq, 1, 8))
+        return np.asarray(logs.pose)
+
+    import dataclasses
+
+    base = run(ecfg)
+    fast = run(
+        dataclasses.replace(
+            ecfg,
+            picp=dataclasses.replace(ecfg.picp, unrolled_rounds=50),
+            scan_unroll=2,
+        )
+    )
+    np.testing.assert_allclose(fast, base, atol=1e-5)

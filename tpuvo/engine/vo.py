@@ -168,10 +168,17 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
 
     # --- PICP from the previous pose (icp_test.cpp:79-111) ----------------
     T_init = lie.inv_se3(state.pose)  # world-in-camera initial guess
-    sol = picp.solve(
-        K, T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
-        cfg.width, cfg.height, cfg.picp, kernel_threshold,
-    )
+    if cfg.picp.unrolled_rounds > 0:
+        sol = picp.solve_unrolled(
+            K, T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
+            cfg.width, cfg.height, cfg.picp, kernel_threshold,
+            rounds=cfg.picp.unrolled_rounds,
+        )
+    else:
+        sol = picp.solve(
+            K, T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
+            cfg.width, cfg.height, cfg.picp, kernel_threshold,
+        )
     new_pose = lie.inv_se3(sol.T)  # camera-in-world
     # graceful degradation: keep the previous pose on match starvation or a
     # non-finite solve (reference fallback, my_utilities.cpp:269-273)
@@ -271,7 +278,9 @@ def make_tracker(cfg: EngineConfig):
             c, n = fr
             return track_step(s, c, n, cfg)
 
-        return jax.lax.scan(step, state, (frames_curr, frames_next))
+        return jax.lax.scan(
+            step, state, (frames_curr, frames_next), unroll=cfg.scan_unroll
+        )
 
     return jax.jit(run)
 
@@ -329,7 +338,9 @@ def run_threshold_sweep(seq, thresholds, cfg: EngineConfig | None = None, seed: 
                 c, n = fr
                 return track_step(s, c, n, cfg, kernel_threshold=t)
 
-            return jax.lax.scan(step, state, (frames_curr, frames_next))
+            return jax.lax.scan(
+                step, state, (frames_curr, frames_next), unroll=cfg.scan_unroll
+            )
 
         return jax.vmap(one)(states, thr)
 

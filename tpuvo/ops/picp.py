@@ -184,6 +184,50 @@ def solve(
     return PICPResult(T, n_in, chi_in, chi_out, it, conv)
 
 
+def solve_unrolled(
+    K, T_init, world_pts, image_uv, corr_idx, corr_valid,
+    width: int, height: int, cfg: PICPConfig, kernel_threshold=None,
+    rounds: int = 8,
+) -> PICPResult:
+    """GN loop with the same stopping rule as ``solve`` but a static,
+    fully unrolled round count (convergence via a done-mask select).
+
+    The while_loop's on-device condition check costs serial latency every
+    round of a body this small; unrolling removes it and lets XLA schedule
+    across rounds.  ``rounds`` caps iterations (vs max_iterations) — on the
+    bundled data GN converges in <= 8 rounds on every frame, and callers
+    get the same converged flag to detect when the cap bites.
+    """
+    if corr_idx is not None:
+        world_pts = world_pts[corr_idx]
+        corr_idx = None
+
+    T, prev = T_init, PREV_CHI_INIT
+    done = jnp.bool_(False)
+    n_in = jnp.int32(0)
+    chi_in = jnp.float32(0.0)
+    chi_out = jnp.float32(0.0)
+    it = jnp.int32(0)
+    conv = jnp.bool_(False)
+    for _ in range(rounds):
+        T2, lin, ok = one_round(
+            K, T, world_pts, image_uv, corr_idx, corr_valid, width, height,
+            cfg, kernel_threshold,
+        )
+        curr = lin.chi_inliers
+        rel = jnp.where(prev > 1e-10, jnp.abs(prev - curr) / prev, 0.0)
+        converged = ok & (rel < cfg.convergence_threshold)
+        T = jnp.where(done, T, T2)
+        n_in = jnp.where(done, n_in, lin.num_inliers)
+        chi_in = jnp.where(done, chi_in, lin.chi_inliers)
+        chi_out = jnp.where(done, chi_out, lin.chi_outliers)
+        it = jnp.where(done, it, it + 1)
+        conv = jnp.where(done, conv, converged)
+        prev = jnp.where(done, prev, curr)
+        done = done | (~ok) | converged
+    return PICPResult(T, n_in, chi_in, chi_out, it, conv)
+
+
 def solve_fixed_rounds(
     K, T_init, world_pts, image_uv, corr_idx, corr_valid,
     width: int, height: int, cfg: PICPConfig, rounds: int = 5,

@@ -49,6 +49,8 @@ def sharded_match_descriptors(
     n_shard = mesh.shape[axis]
     shard_size = M // n_shard
     assert shard_size * n_shard == M, "map size must divide the mesh axis"
+    # indices ride the fused f32 all_gather buffer — exact below 2^24
+    assert M < 2**24, "fused gather carries indices in f32"
 
     @partial(
         shard_map,
@@ -61,10 +63,15 @@ def sharded_match_descriptors(
         best, idx, second = _local_top2(d1, d2s, v2s, method)
         shard_id = jax.lax.axis_index(axis)
         idx_global = idx + shard_id * shard_size
-        # gather the tiny per-row triples from every shard
-        bests = jax.lax.all_gather(best, axis)      # (S, N)
-        idxs = jax.lax.all_gather(idx_global, axis)  # (S, N)
-        seconds = jax.lax.all_gather(second, axis)   # (S, N)
+        # ONE fused all_gather of the per-row triples (collectives are
+        # latency-bound: one (3, N) message beats three (N,) messages)
+        triple = jnp.stack(
+            [best, idx_global.astype(jnp.float32), second]
+        )  # (3, N)
+        gathered = jax.lax.all_gather(triple, axis)  # (S, 3, N)
+        bests = gathered[:, 0]                       # (S, N)
+        idxs = gathered[:, 1].astype(jnp.int32)      # (S, N)
+        seconds = gathered[:, 2]                     # (S, N)
         win = jnp.argmin(bests, axis=0)              # first shard wins ties
         n = best.shape[0]
         rows = jnp.arange(n)
