@@ -46,6 +46,8 @@ def main():
 
     cfg = EngineConfig(
         mode=os.environ.get("TPUVO_BENCH_MODE", "fixed"),
+        fuse_frame_matchers=os.environ.get("TPUVO_BENCH_FUSED", "0") == "1",
+        motion_model_init=os.environ.get("TPUVO_BENCH_MOTION", "0") == "1",
         matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "direct")),
         # fast profile: rel-chi 1e-4 (mean 5 GN iters vs 7.6, no accuracy
         # cost); keep 2 triangulation polish iterations — dropping to 1
@@ -114,10 +116,7 @@ def main():
 
     def batched(k, bf0, bf1, bc, bn):
         s, _ = jax.vmap(lambda kk, a, b: vo.bootstrap(kk, a, b, cfg))(k, bf0, bf1)
-        s, lg = jax.vmap(lambda st, c, n: jax.lax.scan(
-            lambda ss, fr: vo.track_step(ss, fr[0], fr[1], cfg), st, (c, n),
-            unroll=cfg.scan_unroll,
-        ))(s, bc, bn)
+        s, lg = jax.vmap(lambda st, c, n: vo.scan_tracker(st, c, n, cfg))(s, bc, bn)
         return lg.pose
 
     batched_j = jax.jit(batched)

@@ -134,3 +134,25 @@ def test_vmap_over_frame_pairs(sequence):
         jnp.asarray(s.desc[4]), jnp.asarray(s.valid[4]),
     )
     assert np.array_equal(np.asarray(res.valid[3]), np.asarray(single.valid))
+
+
+def test_fused_pair_matcher_agrees(sequence):
+    """match_descriptors_pair == two independent mxu-method matches."""
+    from tpuvo.ops.match import match_descriptors_pair
+
+    s = sequence
+    # mimic the tracker's two calls on frames (1 -> map-like frame 5) and (0 -> 1)
+    q1, vq1, t1, vt1 = s.desc[1], s.valid[1], s.desc[5], s.valid[5]
+    q2, vq2, t2, vt2 = s.desc[0], s.valid[0], s.desc[1], s.valid[1]
+    r1, r2 = jax.jit(match_descriptors_pair)(
+        jnp.asarray(q1), jnp.asarray(vq1), jnp.asarray(t1), jnp.asarray(vt1),
+        jnp.asarray(q2), jnp.asarray(vq2), jnp.asarray(t2), jnp.asarray(vt2),
+    )
+    e1 = run_match(q1, vq1, t1, vt1, method="mxu")
+    e2 = run_match(q2, vq2, t2, vt2, method="mxu")
+    for got, exp in ((r1, e1), (r2, e2)):
+        assert np.array_equal(np.asarray(got.valid), np.asarray(exp.valid))
+        sel = np.asarray(exp.valid)
+        assert np.array_equal(np.asarray(got.idx)[sel], np.asarray(exp.idx)[sel])
+        np.testing.assert_allclose(
+            np.asarray(got.best)[sel], np.asarray(exp.best)[sel], atol=2e-6)

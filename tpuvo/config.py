@@ -164,6 +164,24 @@ class EngineConfig:
     # low-parallax points have unobservable depth (reprojection can't catch
     # them — they fit both views by construction)
     landmark_min_parallax_rad: float = 0.01
+    # Fuse the two per-frame matcher calls (2D-3D vs map, 2D-2D vs next
+    # frame) into one stacked MXU distance matmul + one top-2 chain —
+    # halves the matcher's serial kernel chain (latency win).  Uses the
+    # "mxu" distance form for both; parity mode keeps two direct-method
+    # calls (bit-faithful to the reference's per-pair squaredNorm).
+    fuse_frame_matchers: bool = False
+    # Initialize each PICP solve from a constant-velocity prediction
+    # (pose · last relative motion) instead of the previous pose
+    # (icp_test.cpp:79 semantics).  Cuts mean GN iterations; off in parity.
+    motion_model_init: bool = False
+    # Damping of the velocity prediction (fraction of the last motion
+    # applied).  GN stops on relative-chi, so the stopped pose depends
+    # slightly on its init; feeding the init forward through the velocity
+    # creates a feedback loop whose gain scales with this factor — 1.0
+    # measured locally unstable on the bundled data (divergence growing
+    # ~2.5x/frame from 1e-5), while damped prediction keeps most of the
+    # iteration savings.
+    motion_model_alpha: float = 0.5
     # lax.scan unroll factor for the frame loop: frames are sequentially
     # dependent, but unrolling lets XLA schedule/fuse across step bodies
     # (+12-41% single-sequence fps at unroll=4 on TPU v5 lite, run-to-run

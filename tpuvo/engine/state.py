@@ -24,12 +24,16 @@ class VOState(NamedTuple):
     map_id_meas: jnp.ndarray # (C,) measurement id of the first view
     map_valid: jnp.ndarray   # (C,) slot occupancy
     map_count: jnp.ndarray   # () int32 occupied slots
+    vel: jnp.ndarray         # (4, 4) last relative motion (prev pose -> pose),
+                             # identity until two frames tracked; feeds the
+                             # constant-velocity PICP initialization
 
 
 def empty_state(cfg: EngineConfig) -> VOState:
     C, D = cfg.map_capacity, cfg.desc_dim
     return VOState(
         pose=jnp.eye(4, dtype=jnp.float32),
+        vel=jnp.eye(4, dtype=jnp.float32),
         map_xyz=jnp.zeros((C, 3), jnp.float32),
         map_desc=jnp.zeros((C, D), jnp.float32),
         map_id_real=jnp.full((C,), -1, jnp.int32),

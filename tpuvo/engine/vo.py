@@ -84,20 +84,23 @@ def _append_to_map(state: VOState, xyz, desc, id_real, id_meas, new_mask) -> Tup
     hit = jnp.sum(onehot, axis=1)  # (C,) 0/1
     keep = 1.0 - hit
 
-    def scatter_f(old, vals):
-        upd = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
-        return old * keep[:, None] + upd
+    # all four arrays ride ONE one-hot matmul: concat the value columns
+    # (int ids are small — exact through the f32 matmul)
+    D = desc.shape[1]
+    vals = jnp.concatenate(
+        [xyz, desc, id_real.astype(jnp.float32)[:, None],
+         id_meas.astype(jnp.float32)[:, None]], axis=1,
+    )  # (N, 3 + D + 2)
+    upd = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)  # (C, 3+D+2)
 
-    def scatter_i(old, vals):
-        # int ids are small (< 2^24) — exact through the f32 matmul
-        upd = jnp.dot(onehot, vals.astype(jnp.float32)[:, None],
-                      preferred_element_type=jnp.float32)[:, 0]
-        return jnp.where(hit > 0.5, jnp.round(upd).astype(old.dtype), old)
-
-    map_xyz = scatter_f(state.map_xyz, xyz)
-    map_desc = scatter_f(state.map_desc, desc)
-    map_id_real = scatter_i(state.map_id_real, id_real)
-    map_id_meas = scatter_i(state.map_id_meas, id_meas)
+    map_xyz = state.map_xyz * keep[:, None] + upd[:, :3]
+    map_desc = state.map_desc * keep[:, None] + upd[:, 3:3 + D]
+    map_id_real = jnp.where(
+        hit > 0.5, jnp.round(upd[:, 3 + D]).astype(state.map_id_real.dtype),
+        state.map_id_real)
+    map_id_meas = jnp.where(
+        hit > 0.5, jnp.round(upd[:, 4 + D]).astype(state.map_id_meas.dtype),
+        state.map_id_meas)
     map_valid = state.map_valid | (hit > 0.5)
     n_added = jnp.sum(ok).astype(jnp.int32)
     return (
@@ -158,16 +161,34 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     K = jnp.asarray(cfg.K())
 
     # --- 2D-3D: match next frame's descriptors against the map -----------
-    m_map = match_descriptors(
-        nxt.desc, nxt.valid, state.map_desc, state.map_valid,
-        cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
-        cfg.matcher.method,
-    )
+    # (and, when fused, the 2D-2D curr->next match in the same kernel chain)
+    m_img = None
+    if cfg.fuse_frame_matchers:
+        from tpuvo.ops.match import match_descriptors_pair
+
+        m_map, m_img = match_descriptors_pair(
+            nxt.desc, nxt.valid, state.map_desc, state.map_valid,
+            curr.desc, curr.valid, nxt.desc, nxt.valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+        )
+    else:
+        m_map = match_descriptors(
+            nxt.desc, nxt.valid, state.map_desc, state.map_valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            cfg.matcher.method,
+        )
     map_ids = state.map_id_real[m_map.idx]
     n_map_correct = jnp.sum(m_map.valid & (nxt.id_real == map_ids))
 
-    # --- PICP from the previous pose (icp_test.cpp:79-111) ----------------
-    T_init = lie.inv_se3(state.pose)  # world-in-camera initial guess
+    # --- PICP initial guess (icp_test.cpp:79: previous pose; optionally a
+    # constant-velocity prediction, which cuts GN iterations) --------------
+    if cfg.motion_model_init:
+        step_v = (lie.scale_motion(state.vel, cfg.motion_model_alpha)
+                  if cfg.motion_model_alpha != 1.0 else state.vel)
+        T_prev = state.pose @ step_v
+    else:
+        T_prev = state.pose
+    T_init = lie.inv_se3(T_prev)  # world-in-camera initial guess
     if cfg.picp.unrolled_rounds > 0:
         sol = picp.solve_unrolled(
             K, T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
@@ -189,11 +210,12 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     new_pose = jnp.where(healthy, new_pose, state.pose)
 
     # --- 2D-2D: match curr -> next for triangulation (icp_test.cpp:122) ---
-    m_img = match_descriptors(
-        curr.desc, curr.valid, nxt.desc, nxt.valid,
-        cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
-        cfg.matcher.method,
-    )
+    if m_img is None:
+        m_img = match_descriptors(
+            curr.desc, curr.valid, nxt.desc, nxt.valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            cfg.matcher.method,
+        )
     # add_new_world_points (my_utilities.cpp:413-434): keep 2D-2D matches
     # whose *next*-frame point was not matched to the map
     next_in_map = m_map.valid  # (N,) per next-frame row
@@ -212,12 +234,19 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     )  # (Kc, N)
     cnt = jnp.sum(sel, axis=1)
     c_valid = cnt > 0.5
-    mm = lambda vals: jnp.dot(sel, vals, preferred_element_type=jnp.float32)
-    uv1_c = mm(curr.uv)
-    uv2_c = mm(uv_next)
-    desc_c = mm(curr.desc)
-    idr_c = jnp.round(mm(curr.id_real.astype(jnp.float32)[:, None])[:, 0]).astype(jnp.int32)
-    idm_c = jnp.round(mm(curr.id_meas.astype(jnp.float32)[:, None])[:, 0]).astype(jnp.int32)
+    # one fused (Kc, N) @ (N, 16) compaction matmul for all five payloads
+    D = curr.desc.shape[1]
+    payload = jnp.concatenate(
+        [curr.uv, uv_next, curr.desc,
+         curr.id_real.astype(jnp.float32)[:, None],
+         curr.id_meas.astype(jnp.float32)[:, None]], axis=1,
+    )  # (N, 4 + D + 2)
+    comp = jnp.dot(sel, payload, preferred_element_type=jnp.float32)
+    uv1_c = comp[:, :2]
+    uv2_c = comp[:, 2:4]
+    desc_c = comp[:, 4:4 + D]
+    idr_c = jnp.round(comp[:, 4 + D]).astype(jnp.int32)
+    idm_c = jnp.round(comp[:, 5 + D]).astype(jnp.int32)
 
     pts, finite = triangulate.triangulate_two_view(
         K, state.pose, new_pose, uv1_c, uv2_c,
@@ -250,8 +279,13 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
             keep & ok1 & ok2 & (e1 < thr * thr) & (e2 < thr * thr)
             & finite & parallax_ok
         )
+    if cfg.motion_model_init:
+        rel = lie.inv_se3(state.pose) @ new_pose
+        vel_new = jnp.where(healthy, rel, state.vel)
+    else:
+        vel_new = state.vel
     state2, n_added = _append_to_map(
-        state._replace(pose=new_pose),
+        state._replace(pose=new_pose, vel=vel_new),
         pts, desc_c, idr_c, idm_c, keep,
     )
 
@@ -270,19 +304,53 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     return state2, log
 
 
+def _pack_log(log: FrameLog):
+    """(pose, packed scalar vector): scan stacks 2 output arrays per step
+    instead of 10 — the per-step dynamic-update-slice chains are serial
+    latency on TPU.  All scalar fields are exact in f32 (counts < 2^24)."""
+    stats = jnp.stack([
+        log.num_inliers.astype(jnp.float32),
+        log.chi_inliers,
+        log.iterations.astype(jnp.float32),
+        log.converged.astype(jnp.float32),
+        log.n_map_matches.astype(jnp.float32),
+        log.n_map_correct.astype(jnp.float32),
+        log.n_frame_matches.astype(jnp.float32),
+        log.n_new_points.astype(jnp.float32),
+        log.map_count.astype(jnp.float32),
+    ])
+    return log.pose, stats
+
+
+def _unpack_logs(poses, stats) -> FrameLog:
+    s = stats.T if stats.ndim == 2 else jnp.moveaxis(stats, -1, 0)
+    i32 = lambda x: x.astype(jnp.int32)
+    return FrameLog(
+        pose=poses,
+        num_inliers=i32(s[0]), chi_inliers=s[1], iterations=i32(s[2]),
+        converged=s[3] > 0.5, n_map_matches=i32(s[4]), n_map_correct=i32(s[5]),
+        n_frame_matches=i32(s[6]), n_new_points=i32(s[7]), map_count=i32(s[8]),
+    )
+
+
+def scan_tracker(state: VOState, frames_curr: Frame, frames_next: Frame,
+                 cfg: EngineConfig, kernel_threshold=None):
+    """The full-sequence tracker as a traceable function (jit/vmap it)."""
+
+    def step(s, fr):
+        c, n = fr
+        s2, log = track_step(s, c, n, cfg, kernel_threshold)
+        return s2, _pack_log(log)
+
+    state, (poses, stats) = jax.lax.scan(
+        step, state, (frames_curr, frames_next), unroll=cfg.scan_unroll
+    )
+    return state, _unpack_logs(poses, stats)
+
+
 def make_tracker(cfg: EngineConfig):
     """Compile the full-sequence tracker: scan track_step over frame pairs."""
-
-    def run(state: VOState, frames_curr: Frame, frames_next: Frame):
-        def step(s, fr):
-            c, n = fr
-            return track_step(s, c, n, cfg)
-
-        return jax.lax.scan(
-            step, state, (frames_curr, frames_next), unroll=cfg.scan_unroll
-        )
-
-    return jax.jit(run)
+    return jax.jit(lambda s, fc, fn: scan_tracker(s, fc, fn, cfg))
 
 
 def run_sequence(seq, cfg: EngineConfig | None = None, seed: int = 42):
@@ -333,16 +401,10 @@ def run_threshold_sweep(seq, thresholds, cfg: EngineConfig | None = None, seed: 
 
     @jax.jit
     def sweep(states, thr):
-        def one(state, t):
-            def step(s, fr):
-                c, n = fr
-                return track_step(s, c, n, cfg, kernel_threshold=t)
-
-            return jax.lax.scan(
-                step, state, (frames_curr, frames_next), unroll=cfg.scan_unroll
-            )
-
-        return jax.vmap(one)(states, thr)
+        return jax.vmap(
+            lambda state, t: scan_tracker(
+                state, frames_curr, frames_next, cfg, kernel_threshold=t)
+        )(states, thr)
 
     states, logs = sweep(states, thr)
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32)[None, None], (B, 1, 4, 4))

@@ -69,8 +69,26 @@ def rt_to_T(R, t):
 
 
 def v2t_euler(v):
-    """6-vector -> SE(3): R = Rx(v3)·Ry(v4)·Rz(v5), t = v[:3] (defs.h:131-136)."""
-    R = rx(v[..., 3]) @ ry(v[..., 4]) @ rz(v[..., 5])
+    """6-vector -> SE(3): R = Rx(v3)·Ry(v4)·Rz(v5), t = v[:3] (defs.h:131-136).
+
+    The product is written out entrywise (same multiplication grouping as
+    the left-associated matmul chain, so bit-identical) — on TPU this fuses
+    into one elementwise kernel instead of two 3x3 matmul dispatches, and
+    the GN retraction runs it every round.
+    """
+    ca, sa = jnp.cos(v[..., 3]), jnp.sin(v[..., 3])
+    cb, sb = jnp.cos(v[..., 4]), jnp.sin(v[..., 4])
+    cc, sc = jnp.cos(v[..., 5]), jnp.sin(v[..., 5])
+    sasb = sa * sb
+    casb = ca * sb
+    R = jnp.stack(
+        [
+            jnp.stack([cb * cc, -(cb * sc), sb], -1),
+            jnp.stack([sasb * cc + ca * sc, ca * cc - sasb * sc, -(sa * cb)], -1),
+            jnp.stack([-(casb * cc) + sa * sc, sa * cc + casb * sc, ca * cb], -1),
+        ],
+        -2,
+    )
     return rt_to_T(R, v[..., :3])
 
 
@@ -120,6 +138,34 @@ def se3_exp(xi):
     V = jnp.eye(3, dtype=xi.dtype) + b[..., None, None] * W + c[..., None, None] * W2
     t = jnp.einsum("...ij,...j->...i", V, v)
     return rt_to_T(R, t)
+
+
+def so3_log(R):
+    """Rotation matrix -> axis-angle vector (inverse of so3_exp).
+
+    Safe at theta -> 0 (series limit) and clamped at theta -> pi.
+    """
+    cos_t = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    v = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    # v = 2 sin(theta) * axis; scale = theta / (2 sin theta), series at 0
+    sin_t = jnp.sin(theta)
+    scale = jnp.where(sin_t > 1e-6, theta / (2.0 * sin_t), 0.5 + theta * theta / 12.0)
+    return v * scale
+
+
+def scale_motion(T, alpha):
+    """Fractional rigid motion: (R, t) -> (exp(alpha·log R), alpha·t).
+
+    Used to damp the constant-velocity prediction — alpha < 1 shrinks the
+    loop gain of the init -> solve -> velocity feedback (see engine/vo.py).
+    """
+    w = so3_log(T[:3, :3])
+    R = so3_exp(alpha * w)
+    out = jnp.eye(4, dtype=T.dtype)
+    out = out.at[:3, :3].set(R)
+    out = out.at[:3, 3].set(alpha * T[:3, 3])
+    return out
 
 
 def inv_se3(T):

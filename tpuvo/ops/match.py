@@ -94,6 +94,45 @@ def match_descriptors(
     return MatchResult(idx=idx, valid=accept, best=best, second=second)
 
 
+def match_descriptors_pair(
+    q1, v_q1, t1, v_t1,
+    q2, v_q2, t2, v_t2,
+    distance_threshold: float = 0.2,
+    ratio_threshold: float = 0.8,
+) -> tuple:
+    """Two independent matches fused into ONE distance matmul + top-2 chain.
+
+    Matches (q1 -> t1) and (q2 -> t2) by stacking the queries to (N1+N2, D)
+    and the targets to (T1+T2, D), with a block mask so each query half only
+    sees its own target segment.  Latency-mode win: the tracker issues two
+    matcher calls per frame (2D-3D against the map and 2D-2D against the
+    next frame, icp_test.cpp:75,122) — fusing them halves the serial kernel
+    chain.  Decision-identical to two ``match_descriptors(method="mxu")``
+    calls (masked columns are +inf in both).
+    """
+    N1, T1 = q1.shape[0], t1.shape[0]
+    q = jnp.concatenate([q1, q2], 0)          # (N1+N2, D)
+    t = jnp.concatenate([t1, t2], 0)          # (T1+T2, D)
+    tv = jnp.concatenate([v_t1, v_t2], 0)     # (T1+T2,)
+    dist = descriptor_distances(q, t, "mxu")  # one MXU matmul
+    # block mask: rows [0, N1) see cols [0, T1); the rest see [T1, T1+T2)
+    rows_first = jnp.arange(q.shape[0]) < N1
+    cols_first = jnp.arange(t.shape[0]) < T1
+    seg_ok = rows_first[:, None] == cols_first[None, :]
+    masked_valid = seg_ok & tv[None, :]
+    masked = jnp.where(masked_valid, dist, INF)
+    idx = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(masked, idx[:, None], axis=1)[:, 0]
+    col_ids = jnp.arange(t.shape[0], dtype=jnp.int32)
+    masked2 = jnp.where(col_ids[None, :] == idx[:, None], INF, masked)
+    second = jnp.min(masked2, axis=1)
+    accept = (best < distance_threshold) & (best / second < ratio_threshold)
+    accept = accept & jnp.concatenate([v_q1, v_q2], 0)
+    r1 = MatchResult(idx[:N1], accept[:N1], best[:N1], second[:N1])
+    r2 = MatchResult(idx[N1:] - T1, accept[N1:], best[N1:], second[N1:])
+    return r1, r2
+
+
 class MatchStats(NamedTuple):
     possible: jnp.ndarray  # pairs with equal id_real (the GT oracle count)
     found: jnp.ndarray     # accepted matches

@@ -86,22 +86,27 @@ def linearize(
     uv, proj_ok, p_cam, phom = project_points_with_cam(K, T, X, width, height)
     e = uv - image_uv  # (N, 2)
 
-    # Jr = [ I3 | skew(-p_cam) ]  (N, 3, 6)
-    N = X.shape[0]
-    I3 = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (N, 3, 3))
-    Jr = jnp.concatenate([I3, lie.skew(-p_cam)], axis=-1)
-
+    # J = Jp·K·Jr with Jr = [I3 | skew(-p_cam)], written out entrywise so
+    # the whole Jacobian build is one elementwise fusion (the einsum form
+    # forces per-round transposes + batched-matmul dispatches on TPU):
+    #   C  = Jp·K  (2x3 per point; K's rows are compile-time constants)
+    #   J  = [ C | C·skew(-p_cam) ]   and  row·skew(w) = row x w.
     iz = 1.0 / jnp.where(jnp.abs(phom[:, 2]) > 1e-12, phom[:, 2], 1.0)
-    iz2 = iz * iz
-    zero = jnp.zeros_like(iz)
-    Jp = jnp.stack(
+    k0, k1, k2 = K[0], K[1], K[2]
+    # Jp rows are (1/z)·(e_i - (p_i/z)·e_z), so C rows are
+    # (1/z)·(K_i - (p_i/z)·K_2) with p = phom.
+    a0 = phom[:, 0] * iz  # x/z
+    a1 = phom[:, 1] * iz  # y/z
+    C0 = iz[:, None] * (k0[None, :] - a0[:, None] * k2[None, :])  # (N, 3)
+    C1 = iz[:, None] * (k1[None, :] - a1[:, None] * k2[None, :])  # (N, 3)
+    w_ax = -p_cam  # (N, 3) the skew argument
+    J = jnp.stack(
         [
-            jnp.stack([iz, zero, -phom[:, 0] * iz2], -1),
-            jnp.stack([zero, iz, -phom[:, 1] * iz2], -1),
+            jnp.concatenate([C0, jnp.cross(C0, w_ax)], -1),
+            jnp.concatenate([C1, jnp.cross(C1, w_ax)], -1),
         ],
         -2,
-    )  # (N, 2, 3)
-    J = jnp.einsum("nij,jk,nkl->nil", Jp, K, Jr)  # (N, 2, 6)
+    )  # (N, 2, 6)
 
     valid = corr_valid & proj_ok
     # Zero masked rows *before* reduction: a culled point can carry inf in
@@ -114,12 +119,20 @@ def linearize(
     contrib = valid & (is_inlier if not keep_outliers else jnp.ones_like(is_inlier))
     w = lam * contrib.astype(X.dtype)
 
-    H = jnp.einsum("nki,nkj,n->ij", J, J, w)
-    b = jnp.einsum("nki,nk,n->i", J, e, w)
-    num_inliers = jnp.sum(valid & is_inlier).astype(jnp.int32)
-    chi_in = jnp.sum(chi * (valid & is_inlier))
-    chi_out = jnp.sum(chi * (valid & ~is_inlier))
-    return Linearization(H, b, num_inliers, chi_in, chi_out)
+    # One reduction for H, b: augment the residual column, H_aug = A^T·W·A
+    # with A = [J | e]; H = H_aug[:6,:6], b = H_aug[:6,6].
+    A = jnp.concatenate([J, e[:, :, None]], -1)  # (N, 2, 7)
+    H_aug = jnp.einsum("nki,nkj,n->ij", A, A, w)
+    H = H_aug[:6, :6]
+    b = H_aug[:6, 6]
+    # ... and one reduction for the three inlier statistics.
+    in_mask = (valid & is_inlier).astype(chi.dtype)
+    out_mask = (valid & ~is_inlier).astype(chi.dtype)
+    stats = jnp.sum(
+        jnp.stack([chi * in_mask, chi * out_mask, in_mask], 0), axis=1
+    )
+    num_inliers = stats[2].astype(jnp.int32)
+    return Linearization(H, b, num_inliers, stats[0], stats[1])
 
 
 def one_round(
