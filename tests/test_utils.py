@@ -40,6 +40,23 @@ def test_checkpoint_roundtrip(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from tpuvo.utils.checkpoint import OrbaxCheckpointer
+
+    (state, logs, poses, diag), cfg, seq = small_run()
+    ckpt = OrbaxCheckpointer(str(tmp_path / "orbax"), keep=2)
+    ckpt.save(9, state, extra={"seed": 42})
+    ckpt.save(19, state._replace(frame_idx=state.frame_idx + 10)
+              if hasattr(state, "frame_idx") else state)
+    assert ckpt.latest_step() == 19
+    state2, extra = ckpt.restore(step=9)
+    assert int(extra["seed"]) == 42
+    for a, b in zip(state, state2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
+
+
 def test_validate_state_ok_and_violations():
     (state, logs, poses, diag), cfg, seq = small_run()
     validate_state(state)  # must not raise

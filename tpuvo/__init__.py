@@ -28,6 +28,13 @@ if _os.environ.get("TPUVO_MATMUL_PRECISION", "highest") != "default":
         _os.environ.get("TPUVO_MATMUL_PRECISION", "highest"),
     )
 
+# Honor JAX_PLATFORMS even when a site hook has already pinned the platform
+# config (some TPU plugin environments re-pin it in sitecustomize, which
+# silently overrides the user's env var for every entry point).
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and _jax.config.jax_platforms != _env_platforms:
+    _jax.config.update("jax_platforms", _env_platforms)
+
 from tpuvo.config import EngineConfig, MatcherConfig, PICPConfig, RansacConfig
 
 __version__ = "0.1.0"

@@ -187,7 +187,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="tpuvo", description=__doc__)
     p.add_argument("--data", default="/root/reference/data", help="dataset dir")
     p.add_argument("--frames", type=int, default=121)
-    p.add_argument("--mode", default="parity", choices=["parity", "fixed"])
+    # "fixed" (landmark gating, wrapped angles) is the production default:
+    # it is robust on every backend, while "parity" reproduces the
+    # reference's fragile unfiltered map, which is marginally stable and
+    # loses track under TPU fp ordering (DESIGN.md §4).
+    p.add_argument("--mode", default="fixed", choices=["parity", "fixed"])
     p.add_argument("--seed", type=int, default=42)
     sub = p.add_subparsers(dest="cmd", required=True)
 

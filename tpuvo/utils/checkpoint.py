@@ -1,12 +1,16 @@
 """Checkpoint / resume for the VO state (SURVEY.md §5: absent in the
 reference, whose only persistence is the end-of-run artifact dump).
 
-The VO state is a small pytree (pose + fixed-capacity map + counters), so a
-single .npz per checkpoint is sufficient and dependency-free; the sharded
-BA state reuses the same format per shard.  Orbax is available in the
-environment for users who want async/multi-host checkpointing of larger
-states — the npz layout here is deliberately the same tree flattening, so
-swapping the backend is mechanical.
+Two backends over the same tree layout:
+
+* ``save_state`` / ``load_state`` — a single .npz per checkpoint. The VO
+  state is a small pytree (pose + fixed-capacity map + counters), so this
+  is sufficient and dependency-free; the sharded BA state reuses the same
+  format per shard.
+* ``OrbaxCheckpointer`` — orbax-backed, for multi-host / sharded states:
+  each host writes only its addressable shards, restore honors a target
+  sharding, and retention keeps the last N steps. This is the path a pod
+  deployment uses; the npz path is the single-host default.
 """
 
 from __future__ import annotations
@@ -36,9 +40,59 @@ def load_state(path: str):
     fields = {k[len("state_"):]: z[k] for k in z.files if k.startswith("state_")}
     import jax.numpy as jnp
 
+    if "vel" not in fields:  # checkpoints written before the vel field
+        fields["vel"] = np.eye(4, dtype=np.float32)
     state = VOState(**{k: jnp.asarray(v) for k, v in fields.items()})
     extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
     return state, int(z["frame_idx"]), extra
+
+
+class OrbaxCheckpointer:
+    """Orbax-backed checkpointing of the VO/BA state pytree.
+
+    Supports multi-host sharded states: under ``jax.distributed`` each host
+    serializes only the shards it owns, and ``restore`` accepts an abstract
+    target (e.g. ``jax.eval_shape`` output with shardings attached) so the
+    state comes back resharded onto the live mesh.  Retention keeps the
+    newest ``keep`` steps.  Falls back with ImportError if orbax is absent.
+    """
+
+    def __init__(self, directory: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep),
+        )
+
+    def save(self, step: int, state: VOState, extra: dict | None = None):
+        ocp = self._ocp
+        payload = {"state": state._asdict()}
+        if extra:
+            payload["extra"] = dict(extra)
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: int | None = None, target: VOState | None = None):
+        """Returns (VOState, extra dict). ``target`` (optional) provides the
+        abstract tree — dtypes/shapes/shardings — to restore onto."""
+        ocp = self._ocp
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no orbax checkpoint found")
+        args = None
+        if target is not None:
+            args = ocp.args.StandardRestore({"state": target._asdict()})
+        out = self._mgr.restore(step, args=args)
+        extra = out.get("extra", {})
+        return VOState(**out["state"]), extra
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def close(self):
+        self._mgr.close()
 
 
 def checkpoint_every(run_step, save_path: str, every: int = 25):
