@@ -1,0 +1,116 @@
+"""KITTI-scale tracking + full windowed-BA benchmark (BASELINE.json config 4:
+"KITTI odometry seq 00 (synthetic keypoints from GT depth) with full BA,
+1 host" — the dataset itself is not bundled, so the stand-in is the
+KITTI-flavored synthetic generator at the same motion scale).
+
+Pipeline measured:
+  1. render an N-frame KITTI-like sequence over a large landmark field
+  2. track it end-to-end (bootstrap + scanned tracker, one compiled program)
+  3. refine the trajectory with sliding-window Schur BA
+Reports frames/s (tracking), BA GN iterations/s, and ATE before/after BA.
+
+Run on real hardware:   python benchmarks/kitti_ba.py
+CPU smoke:              JAX_PLATFORMS=cpu python benchmarks/kitti_ba.py --frames 60
+Results are appended to benchmarks/results.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvo.config import BAConfig, EngineConfig, PICPConfig
+from tpuvo.data import synthetic
+from tpuvo.engine import vo
+from tpuvo.engine.ba_refine import refine_trajectory
+from tpuvo.engine.eval import evaluate, metrics_dict
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--landmarks", type=int, default=20000)
+    ap.add_argument("--map-capacity", type=int, default=8192)
+    ap.add_argument("--window", type=int, default=10)
+    ap.add_argument("--ba-iterations", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    cfg = EngineConfig(
+        mode="fixed",
+        n_frames=args.frames,
+        map_capacity=args.map_capacity,
+        fuse_frame_matchers=True,
+        picp=PICPConfig(convergence_threshold=1e-4),
+        ba=BAConfig(window=args.window, iterations=args.ba_iterations,
+                    max_landmarks=args.map_capacity),
+    )
+    world = synthetic.make_world(args.seed, n_landmarks=args.landmarks,
+                                 xy_extent=0.55 * args.frames)
+    gt = synthetic.make_kitti_like_trajectory(args.frames, step=1.0, seed=args.seed)
+    seq = synthetic.render_sequence(world, gt, cfg, pixel_noise=0.2,
+                                    seed=args.seed)
+
+    F = seq.uv.shape[0]
+    key = jax.random.PRNGKey(args.seed)
+    f0, f1 = vo.frame_of(seq, 0), vo.frame_of(seq, 1)
+    fc, fn = vo.frames_of(seq, 0, F - 1), vo.frames_of(seq, 1, F)
+    boot = jax.jit(lambda k, a, b: vo.bootstrap(k, a, b, cfg))
+    tracker = vo.make_tracker(cfg)
+
+    state0, _ = boot(key, f0, f1)
+    state, logs = tracker(state0, fc, fn)  # warm/compile
+    jax.block_until_ready(logs.pose)
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        s, lg = tracker(state0, fc, fn)
+        jax.block_until_ready(lg.pose)
+        times.append(time.perf_counter() - t0)
+    track_s = min(times)
+    fps = (F - 1) / track_s
+
+    poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], logs.pose], 0)
+    m0 = metrics_dict(evaluate(np.asarray(poses), seq.gt_pose, cfg))
+
+    t0 = time.perf_counter()
+    poses2, points2, stats = refine_trajectory(state, seq, poses, cfg, cfg.ba)
+    ba_s = time.perf_counter() - t0
+    m1 = metrics_dict(evaluate(np.asarray(poses2), seq.gt_pose, cfg))
+    n_windows = len(stats)
+    ba_iters = n_windows * args.ba_iterations
+    out = {
+        "bench": "kitti_ba",
+        "frames": F,
+        "landmarks": args.landmarks,
+        "map_count": int(state.map_count),
+        "track_fps": round(fps, 1),
+        "ba_windows": n_windows,
+        "ba_iters_per_s": round(ba_iters / ba_s, 1),
+        "ate_tracked": round(m0["ate_rmse"], 4),
+        "ate_refined": round(m1["ate_rmse"], 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()
