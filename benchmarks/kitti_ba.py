@@ -60,10 +60,15 @@ def main():
         ba=BAConfig(window=args.window, iterations=args.ba_iterations,
                     max_landmarks=args.map_capacity),
     )
+    # scene scale follows tests/test_ba_refine.py::test_kitti_like_long_sequence
+    # (deep z-range so forward motion keeps landmarks in view); absolute ATE
+    # on long monocular forward motion is scale-drift-dominated — the
+    # benchmark's headline is throughput, accuracy is context.
     world = synthetic.make_world(args.seed, n_landmarks=args.landmarks,
-                                 xy_extent=0.55 * args.frames)
+                                 xy_extent=2.0 * args.frames,
+                                 z_range=(0.0, 8.0))
     gt = synthetic.make_kitti_like_trajectory(args.frames, step=1.0, seed=args.seed)
-    seq = synthetic.render_sequence(world, gt, cfg, pixel_noise=0.2,
+    seq = synthetic.render_sequence(world, gt, cfg, pixel_noise=0.3,
                                     seed=args.seed)
 
     F = seq.uv.shape[0]
@@ -88,6 +93,7 @@ def main():
     poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], logs.pose], 0)
     m0 = metrics_dict(evaluate(np.asarray(poses), seq.gt_pose, cfg))
 
+    refine_trajectory(state, seq, poses, cfg, cfg.ba)  # warm/compile
     t0 = time.perf_counter()
     poses2, points2, stats = refine_trajectory(state, seq, poses, cfg, cfg.ba)
     ba_s = time.perf_counter() - t0

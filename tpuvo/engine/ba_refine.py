@@ -8,10 +8,20 @@ Strategy: slide a W-frame window with 50% overlap along the trajectory.
 Each window re-matches its frames against the (frozen-topology) map, fixes
 its first two poses (gauge + scale anchor to the already-refined prefix),
 runs the Schur BA solver, and writes back the improved poses and landmark
-positions.  Every window has identical shapes, so the solver compiles once.
+positions.
+
+TPU-first: the ENTIRE refinement is one compiled program — per-frame map
+matching rides an on-device ``lax.map``, and the sequential window sweep is
+a ``lax.scan`` whose carry is (all poses, all landmarks), with
+dynamic-slice window extraction and masked writeback.  The first version
+looped windows on the host and round-tripped the full landmark set per
+window; on a dispatch-latency-bound link that measured 4.4 BA iters/s —
+the on-device sweep removes every per-window host sync.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +31,55 @@ from tpuvo.ba.window import BAProblem, ba_solve
 from tpuvo.config import BAConfig, EngineConfig
 from tpuvo.ops import lie
 from tpuvo.ops.match import match_descriptors
+
+
+@partial(jax.jit, static_argnames=("cfg", "ba_cfg", "n_windows", "step"))
+def _refine_run(poses_all, points, point_valid, map_desc, desc, valid,
+                obs_uv, K, cfg, ba_cfg, n_windows, step):
+    """One compiled program for the whole refinement (module-level jit so
+    repeated calls with the same shapes/config hit the compile cache)."""
+    W = ba_cfg.window
+    fixed = jnp.arange(W) < 2  # gauge + scale anchor to the refined prefix
+
+    # per-frame correspondences vs the (frozen) final map, on device
+    def match_frame(inp):
+        d, v = inp
+        r = match_descriptors(
+            d, v, map_desc, point_valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            cfg.matcher.method,
+        )
+        return r.idx, r.valid
+
+    obs_lm, obs_valid = jax.lax.map(match_frame, (desc, valid))
+
+    def window_step(carry, w):
+        poses_all, points = carry
+        lo = w * step
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, W, axis=0)
+        win_poses = sl(poses_all)                      # camera-in-world
+        wic = jax.vmap(lie.inv_se3)(win_poses)         # world-in-camera
+        prob = BAProblem(
+            poses=wic, points=points,
+            obs_uv=sl(obs_uv), obs_lm=sl(obs_lm), obs_valid=sl(obs_valid),
+            point_valid=point_valid, fixed=fixed,
+        )
+        prob2, stats = ba_solve(prob, K, cfg.width, cfg.height, ba_cfg)
+        # graceful degradation: a diverged (non-finite) window is
+        # skipped — its frames keep the incoming poses and points
+        ok = jnp.all(jnp.isfinite(prob2.poses))
+        new_cw = jax.vmap(lie.inv_se3)(prob2.poses)
+        upd = jnp.where((ok & ~fixed)[:, None, None], new_cw, win_poses)
+        poses_all = jax.lax.dynamic_update_slice_in_dim(
+            poses_all, upd, lo, axis=0)
+        pt_ok = ok & jnp.all(jnp.isfinite(prob2.points), axis=1)
+        points = jnp.where(pt_ok[:, None], prob2.points, points)
+        return (poses_all, points), (stats.chi, stats.num_inliers, ~ok)
+
+    (poses_all, points), ys = jax.lax.scan(
+        window_step, (poses_all, points),
+        jnp.arange(n_windows, dtype=jnp.int32))
+    return poses_all, points, ys
 
 
 def refine_trajectory(
@@ -39,66 +98,21 @@ def refine_trajectory(
     W = ba_cfg.window
     F = seq.uv.shape[0]
     K = jnp.asarray(cfg.K())
+    step = max(W // 2, 1)
+    n_windows = len(range(0, F - W + 1, step))
+    if n_windows == 0:
+        return np.asarray(poses), np.asarray(state.map_xyz), []
 
-    poses = np.asarray(poses).copy()
-    points = jnp.asarray(state.map_xyz)
-    point_valid = jnp.asarray(state.map_valid)
-    map_desc = jnp.asarray(state.map_desc)
-
-    match_j = jax.jit(
-        lambda d, v: match_descriptors(
-            d, v, map_desc, point_valid,
-            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
-            cfg.matcher.method,
-        )
+    poses0 = jnp.asarray(np.asarray(poses), jnp.float32)       # (F, 4, 4)
+    poses_ref, points_ref, (chis, inliers, skipped) = _refine_run(
+        poses0, jnp.asarray(state.map_xyz), jnp.asarray(state.map_valid),
+        jnp.asarray(state.map_desc), jnp.asarray(seq.desc),
+        jnp.asarray(seq.valid), jnp.asarray(seq.uv), K,
+        cfg, ba_cfg, n_windows, step,
     )
-    solve_j = jax.jit(
-        lambda prob: ba_solve(prob, K, cfg.width, cfg.height, ba_cfg)
-    )
-
-    # precompute per-frame correspondences against the final map
-    N = seq.uv.shape[1]
-    obs_lm = np.zeros((F, N), np.int32)
-    obs_valid = np.zeros((F, N), bool)
-    for f in range(F):
-        res = match_j(jnp.asarray(seq.desc[f]), jnp.asarray(seq.valid[f]))
-        obs_lm[f] = np.asarray(res.idx)
-        obs_valid[f] = np.asarray(res.valid)
-
-    fixed = np.zeros(W, bool)
-    fixed[:2] = True
-    stats_out = []
-    step_size = max(W // 2, 1)
-    for lo in range(0, F - W + 1, step_size):
-        idxs = list(range(lo, lo + W))
-        wic = np.stack([np.linalg.inv(poses[i]) for i in idxs]).astype(np.float32)
-        prob = BAProblem(
-            poses=jnp.asarray(wic),
-            points=points,
-            obs_uv=jnp.asarray(seq.uv[lo : lo + W]),
-            obs_lm=jnp.asarray(obs_lm[lo : lo + W]),
-            obs_valid=jnp.asarray(obs_valid[lo : lo + W]),
-            point_valid=point_valid,
-            fixed=jnp.asarray(fixed),
-        )
-        prob2, stats = solve_j(prob)
-        new_wic = np.asarray(prob2.poses)
-        # graceful degradation: a window whose solve diverged (non-finite)
-        # is skipped — its frames keep the tracked poses
-        if np.all(np.isfinite(new_wic)):
-            for k, i in enumerate(idxs):
-                if not fixed[k]:
-                    poses[i] = np.linalg.inv(new_wic[k])
-            new_pts = np.asarray(prob2.points)
-            ok = np.isfinite(new_pts).all(axis=1)
-            points = jnp.asarray(
-                np.where(ok[:, None], new_pts, np.asarray(points))
-            )
-            skipped = False
-        else:
-            skipped = True
-        stats_out.append(
-            {"window": lo, "chi": float(stats.chi),
-             "inliers": int(stats.num_inliers), "skipped": skipped}
-        )
-    return poses, np.asarray(points), stats_out
+    stats_out = [
+        {"window": int(i * step), "chi": float(chis[i]),
+         "inliers": int(inliers[i]), "skipped": bool(skipped[i])}
+        for i in range(n_windows)
+    ]
+    return np.asarray(poses_ref), np.asarray(points_ref), stats_out
