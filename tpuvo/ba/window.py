@@ -74,21 +74,19 @@ def _per_obs_blocks(K, T, X, uv, valid, width, height, kernel_threshold,
     B (N,2,3), e (N,2), w (N,) robust weight (0 for culled/invalid)."""
     uv_hat, proj_ok, p_cam, phom = project_points_with_cam(K, T, X, width, height)
     e = uv_hat - uv
-    N = X.shape[0]
-    I3 = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), (N, 3, 3))
-    Jr = jnp.concatenate([I3, lie.skew(-p_cam)], axis=-1)  # (N, 3, 6)
+    # closed-form JpK (same derivation as ops/picp.linearize: JpK rows are
+    # (1/z)(K_i - (p_i/z) K_2)), and A = JpK·[I | skew(-p)] = [JpK | JpK x w]
+    # — all elementwise, one fusion instead of per-frame einsum dispatches
     iz = 1.0 / jnp.where(jnp.abs(phom[:, 2]) > 1e-12, phom[:, 2], 1.0)
-    iz2 = iz * iz
-    zero = jnp.zeros_like(iz)
-    Jp = jnp.stack(
-        [
-            jnp.stack([iz, zero, -phom[:, 0] * iz2], -1),
-            jnp.stack([zero, iz, -phom[:, 1] * iz2], -1),
-        ],
-        -2,
-    )  # (N, 2, 3)
-    JpK = jnp.einsum("nij,jk->nik", Jp, K)   # (N, 2, 3)
-    A = jnp.einsum("nik,nkl->nil", JpK, Jr)  # (N, 2, 6) pose Jacobian
+    a0 = phom[:, 0] * iz
+    a1 = phom[:, 1] * iz
+    C0 = iz[:, None] * (K[0][None, :] - a0[:, None] * K[2][None, :])  # (N, 3)
+    C1 = iz[:, None] * (K[1][None, :] - a1[:, None] * K[2][None, :])
+    w_ax = -p_cam
+    A = jnp.stack(
+        [jnp.concatenate([C0, jnp.cross(C0, w_ax)], -1),
+         jnp.concatenate([C1, jnp.cross(C1, w_ax)], -1)], -2)  # (N, 2, 6)
+    JpK = jnp.stack([C0, C1], -2)                              # (N, 2, 3)
     B = jnp.einsum("nik,kl->nil", JpK, T[:3, :3])  # (N, 2, 3) point Jacobian
 
     ok = valid & proj_ok
@@ -224,7 +222,6 @@ def ba_step(problem: BAProblem, K, width, height, cfg: BAConfig):
     c, low = jax.scipy.linalg.cho_factor(S)
     dx_p = jax.scipy.linalg.cho_solve((c, low), -b_red).reshape(-1, 6)  # (W, 6)
 
-    Hll_inv = invert_hll(Hll, cfg.damping)
     dx_l = backsubstitute(Hll_inv, bl, Wfl, dx_p)
 
     new_poses = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_p, problem.poses)
