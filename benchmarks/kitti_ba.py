@@ -71,6 +71,11 @@ def main():
     seq = synthetic.render_sequence(world, gt, cfg, pixel_noise=0.3,
                                     seed=args.seed)
 
+    # upload the sequence once — refine/track re-use the device copies
+    # (re-uploading ~2 MB per call dominated the first BA measurements on
+    # the tunneled TPU: BA iters/s was flat in the iteration count)
+    seq = jax.tree.map(jnp.asarray, seq)
+
     F = seq.uv.shape[0]
     key = jax.random.PRNGKey(args.seed)
     f0, f1 = vo.frame_of(seq, 0), vo.frame_of(seq, 1)

@@ -160,3 +160,23 @@ def test_linearize_shapes():
     # Hpp symmetric PSD
     H = np.asarray(Hpp)
     assert np.allclose(H, np.swapaxes(H, 1, 2), atol=1e-3)
+
+
+def test_ba_compact_matches_full():
+    """Active-landmark compaction must match the uncompacted solve."""
+    prob, poses_gt, world = make_ba_problem(
+        W=8, L=1500, noise_px=0.3, pose_noise=0.02, point_noise=0.05, seed=5
+    )
+    cfg = BAConfig(window=8, iterations=6, max_landmarks=1500)
+    full, s_full = ba_solve(prob, K, CFG.width, CFG.height, cfg, compact=False)
+    comp, s_comp = ba_solve(prob, K, CFG.width, CFG.height, cfg, compact=True)
+    np.testing.assert_allclose(
+        np.asarray(comp.poses), np.asarray(full.poses), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(comp.points), np.asarray(full.points), atol=1e-3)
+    assert int(s_comp.num_inliers) == int(s_full.num_inliers)
+    # untouched landmarks stay bit-identical
+    touched = np.zeros(1500, bool)
+    touched[np.asarray(prob.obs_lm)[np.asarray(prob.obs_valid)]] = True
+    assert np.array_equal(
+        np.asarray(comp.points)[~touched], np.asarray(prob.points)[~touched])

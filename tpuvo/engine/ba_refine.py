@@ -103,16 +103,23 @@ def refine_trajectory(
     if n_windows == 0:
         return np.asarray(poses), np.asarray(state.map_xyz), []
 
-    poses0 = jnp.asarray(np.asarray(poses), jnp.float32)       # (F, 4, 4)
+    # jnp.asarray is a no-op for arrays already on device — callers that
+    # keep (seq, poses, state) device-resident pay zero re-upload here
+    poses0 = jnp.asarray(poses, jnp.float32)                   # (F, 4, 4)
     poses_ref, points_ref, (chis, inliers, skipped) = _refine_run(
         poses0, jnp.asarray(state.map_xyz), jnp.asarray(state.map_valid),
         jnp.asarray(state.map_desc), jnp.asarray(seq.desc),
         jnp.asarray(seq.valid), jnp.asarray(seq.uv), K,
         cfg, ba_cfg, n_windows, step,
     )
+    # one device->host pull for everything (per-element float()/int() pulls
+    # cost a full dispatch round-trip EACH on tunneled TPUs — 117 scalar
+    # pulls measured ~2.9 s, the entire refine budget)
+    poses_ref, points_ref, chis, inliers, skipped = jax.device_get(
+        (poses_ref, points_ref, chis, inliers, skipped))
     stats_out = [
         {"window": int(i * step), "chi": float(chis[i]),
          "inliers": int(inliers[i]), "skipped": bool(skipped[i])}
         for i in range(n_windows)
     ]
-    return np.asarray(poses_ref), np.asarray(points_ref), stats_out
+    return poses_ref, points_ref, stats_out
