@@ -82,22 +82,25 @@ def run_match_test(seq: FrameObservations, cfg: EngineConfig | None = None):
     F = seq.uv.shape[0]
 
     @jax.jit
-    def pair(d1, v1, i1, d2, v2, i2):
-        res = match_descriptors(
-            d1, v1, d2, v2,
-            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
-        )
-        st = match_stats(res, i1, v1, i2, v2)
-        return st.possible, st.found, st.correct
+    # all pairs in ONE vmapped dispatch and one device->host pull (the
+    # per-pair loop paid a dispatch + 3 scalar round-trips per frame)
+    @jax.jit
+    def all_pairs(d, v, ids):
+        def pair(d1, v1, i1, d2, v2, i2):
+            res = match_descriptors(
+                d1, v1, d2, v2,
+                cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            )
+            st = match_stats(res, i1, v1, i2, v2)
+            return st.possible, st.found, st.correct
 
-    rows = []
-    for i in range(F - 1):
-        p, f, c = pair(
-            jnp.asarray(seq.desc[i]), jnp.asarray(seq.valid[i]), jnp.asarray(seq.id_real[i]),
-            jnp.asarray(seq.desc[i + 1]), jnp.asarray(seq.valid[i + 1]), jnp.asarray(seq.id_real[i + 1]),
-        )
-        rows.append(MatchTestRow(i, int(p), int(f), int(c)))
-    return rows
+        return jax.vmap(pair)(d[:-1], v[:-1], ids[:-1], d[1:], v[1:], ids[1:])
+
+    p, f, c = jax.device_get(all_pairs(
+        jnp.asarray(seq.desc), jnp.asarray(seq.valid), jnp.asarray(seq.id_real)
+    ))
+    return [MatchTestRow(i, int(p[i]), int(f[i]), int(c[i]))
+            for i in range(F - 1)]
 
 
 def run_pose_recovery(seq: FrameObservations, cfg: EngineConfig | None = None, seed: int = 42):
@@ -109,28 +112,31 @@ def run_pose_recovery(seq: FrameObservations, cfg: EngineConfig | None = None, s
     F = seq.uv.shape[0]
     key = jax.random.PRNGKey(seed)
 
+    # every pair pose is independent — one vmapped dispatch solves all
+    # F-1 two-view problems; only the trivial 4x4 chaining stays on host
     @jax.jit
-    def pair_pose(k, d1, v1, uv1, d2, v2, uv2):
-        res = match_descriptors(
-            d1, v1, d2, v2,
-            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
-        )
-        T21, rres, pres = twoview.bootstrap_pose(
-            k, K, uv1, uv2[res.idx], res.valid, cfg.ransac
-        )
-        return T21, rres.num_inliers
+    def all_pair_poses(ks, d, v, uv):
+        def pair_pose(k, d1, v1, uv1, d2, v2, uv2):
+            res = match_descriptors(
+                d1, v1, d2, v2,
+                cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            )
+            T21, rres, pres = twoview.bootstrap_pose(
+                k, K, uv1, uv2[res.idx], res.valid, cfg.ransac
+            )
+            return T21, rres.num_inliers
 
+        return jax.vmap(pair_pose)(
+            ks, d[:-1], v[:-1], uv[:-1], d[1:], v[1:], uv[1:])
+
+    keys = jax.random.split(key, F - 1)
+    T21s, n_inl = jax.device_get(all_pair_poses(
+        keys, jnp.asarray(seq.desc), jnp.asarray(seq.valid), jnp.asarray(seq.uv)
+    ))
     poses = [np.eye(4, dtype=np.float32)]
-    inliers = []
     for i in range(F - 1):
-        key, sub = jax.random.split(key)
-        T21, n_inl = pair_pose(
-            sub,
-            jnp.asarray(seq.desc[i]), jnp.asarray(seq.valid[i]), jnp.asarray(seq.uv[i]),
-            jnp.asarray(seq.desc[i + 1]), jnp.asarray(seq.valid[i + 1]), jnp.asarray(seq.uv[i + 1]),
-        )
-        poses.append(poses[-1] @ np.asarray(T21))
-        inliers.append(int(n_inl))
+        poses.append(poses[-1] @ T21s[i])
+    inliers = [int(x) for x in n_inl]
     poses = np.stack(poses)
     cam_to_image = cfg.cam_to_image()
     poses_world = np.einsum("ij,fjk->fik", cam_to_image, poses)

@@ -49,21 +49,24 @@ def _np_default(o):
 
 
 def log_frame_logs(logger: MetricsLogger, logs, prefix: str = "frame"):
-    """Expand a stacked FrameLog into per-frame JSONL records."""
-    n = len(np.asarray(logs.num_inliers))
+    """Expand a stacked FrameLog into per-frame JSONL records.
+
+    Each field is pulled from the device ONCE up front — per-element pulls
+    cost a full dispatch round-trip each on tunneled TPUs.
+    """
+    fields = {
+        "num_inliers": np.asarray(logs.num_inliers),
+        "chi_inliers": np.asarray(logs.chi_inliers),
+        "iterations": np.asarray(logs.iterations),
+        "converged": np.asarray(logs.converged),
+        "n_map_matches": np.asarray(logs.n_map_matches),
+        "n_map_correct": np.asarray(logs.n_map_correct),
+        "n_frame_matches": np.asarray(logs.n_frame_matches),
+        "n_new_points": np.asarray(logs.n_new_points),
+        "map_count": np.asarray(logs.map_count),
+    }
+    n = len(fields["num_inliers"])
     for i in range(n):
-        logger.log(
-            {
-                "event": prefix,
-                "frame": i + 1,
-                "num_inliers": int(np.asarray(logs.num_inliers)[i]),
-                "chi_inliers": float(np.asarray(logs.chi_inliers)[i]),
-                "iterations": int(np.asarray(logs.iterations)[i]),
-                "converged": bool(np.asarray(logs.converged)[i]),
-                "n_map_matches": int(np.asarray(logs.n_map_matches)[i]),
-                "n_map_correct": int(np.asarray(logs.n_map_correct)[i]),
-                "n_frame_matches": int(np.asarray(logs.n_frame_matches)[i]),
-                "n_new_points": int(np.asarray(logs.n_new_points)[i]),
-                "map_count": int(np.asarray(logs.map_count)[i]),
-            }
-        )
+        rec = {"event": prefix, "frame": i + 1}
+        rec.update({k: v[i].item() for k, v in fields.items()})
+        logger.log(rec)
