@@ -123,14 +123,14 @@ def bench_sharded(n_devices, W=10, L=100_000, obs=128, iters=10, reps=3):
     return iters / dt
 
 
-def _worker(n_devices: int, big_L: int):
+def _worker(n_devices: int, big_L: int, obs: int):
     """Subprocess entry: run the sharded solve on ``n_devices`` virtual CPU
     devices (the parent pinned this process to ``n_devices`` physical cores)
     and print iters/s on stdout."""
-    print(json.dumps({"iters_per_s": bench_sharded(n_devices, L=big_L)}))
+    print(json.dumps({"iters_per_s": bench_sharded(n_devices, L=big_L, obs=obs)}))
 
 
-def fair_scaling(big_L: int, reps_note: str = ""):
+def fair_scaling(big_L: int, obs: int = 128, reps_note: str = ""):
     """Strong-scaling measurement that is fair on a shared-core host.
 
     ``--xla_force_host_platform_device_count=N`` devices all share this
@@ -155,6 +155,7 @@ def fair_scaling(big_L: int, reps_note: str = ""):
         env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
         env["TPUVO_BA_WORKER"] = str(n_dev)
         env["TPUVO_BA_L"] = str(big_L)
+        env["TPUVO_BA_OBS"] = str(obs)
         cmd = ["taskset", "-c", cores, sys.executable, here]
         out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1200)
         if out.returncode != 0:
@@ -175,9 +176,15 @@ def main():
     import jax
 
     big_L = int(os.environ.get("TPUVO_BA_L", "100000"))
+    # observations per frame: at the default 128 the 100k-landmark problem
+    # holds only W*128 = 1,280 observations, so after active-landmark
+    # compaction there is almost no local work to parallelize — a dense
+    # problem (e.g. TPUVO_BA_OBS=8192 -> ~82k observations) is the workload
+    # where landmark sharding is meaningful
+    big_obs = int(os.environ.get("TPUVO_BA_OBS", "128"))
     worker = os.environ.get("TPUVO_BA_WORKER")
     if worker:
-        _worker(int(worker), big_L)
+        _worker(int(worker), big_L, big_obs)
         return
 
     out = {
@@ -187,14 +194,14 @@ def main():
     out["ba_iters_per_s_w10_L512"] = round(bench_single(), 2)
     n = jax.device_count()
     if n >= 2:
-        one = bench_sharded(1, L=big_L)
-        many = bench_sharded(n, L=big_L)
+        one = bench_sharded(1, L=big_L, obs=big_obs)
+        many = bench_sharded(n, L=big_L, obs=big_obs)
         out["ba_iters_per_s_100k_1dev"] = round(one, 2)
         out[f"ba_iters_per_s_100k_{n}dev"] = round(many, 2)
         out["shared_core_efficiency"] = round(many / (one * n), 3)
     if os.environ.get("TPUVO_BA_FAIR", "1") != "0":
         try:
-            fair = fair_scaling(big_L)
+            fair = fair_scaling(big_L, big_obs)
             if fair:
                 out.update(fair)
         except Exception as e:  # pragma: no cover — diagnostics only
