@@ -37,9 +37,10 @@ class MatcherConfig:
 
     method: "direct" expands (a-b)^2 on the VPU — bit-faithful to the
     reference's per-pair squaredNorm; "mxu" uses |a|^2+|b|^2-2ab with the
-    inner product on the MXU — ~10x cheaper at batch scale (the matcher is
-    the throughput ceiling of the batched tracker), with decision parity on
-    this data (tested) but theoretical near-tie flips.
+    inner product on the MXU; "mxu_bf16" additionally feeds the cross term
+    in bf16 (f32 accumulation) at the MXU's native precision.  Both MXU
+    forms have decision parity with "direct" on the bundled data (tested,
+    0 flips over all matches) but theoretical near-tie flips.
     """
 
     distance_threshold: float = 0.2   # squared-L2 acceptance (DISTANCE_THRESHOLD)
