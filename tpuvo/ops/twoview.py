@@ -113,25 +113,76 @@ def ransac_essential(key, x1, x2, valid, cfg: RansacConfig, focal: float) -> Ran
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
     _, sample_idx = jax.lax.top_k(scores, S)  # (H, S) distinct valid indices
 
-    sx1 = x1[sample_idx]  # (H, S, 2)
-    sx2 = x2[sample_idx]
-    Es = jax.vmap(essential_8pt_fast)(sx1, sx2)  # (H, 3, 3)
+    from tpuvo.ops.linalg_small import smallest_eigvec_inverse_iteration
+
+    # Gather-free hypothesis solves: the 9 epipolar features are computed
+    # once per point (N, 9); each hypothesis's 9x9 normal matrix is a
+    # 0/1-weighted sum of per-point outer products — ONE (H, N) @ (N, 81)
+    # MXU matmul — rather than materializing (H, S, 9) sample tensors,
+    # whose (..., 8, 9) tiles pad 14-128x under a vmapped batch axis
+    # (measured: remat thrash at batch 512, OOM at 1024).
+    rows = _epipolar_rows(x1, x2)  # (N, 9)
+    member = jnp.sum(
+        (
+            jnp.arange(N, dtype=sample_idx.dtype)[None, None, :]
+            == sample_idx[:, :, None]
+        ).astype(x1.dtype),
+        axis=1,
+    )  # (H, N) exact 0/1 sample membership
+    P = jnp.concatenate([rows[:, i : i + 1] * rows for i in range(9)], axis=1)
+    AtA = jnp.dot(
+        member, P, precision=jax.lax.Precision.HIGHEST
+    ).reshape(H, 9, 9)
+    es = smallest_eigvec_inverse_iteration(AtA)  # (H, 9)
+    Es = es.reshape(H, 3, 3)
 
     thr = (cfg.inlier_threshold_px / focal) ** 2
-    errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, N)
+    # Sampson scores for every hypothesis in (3, N) layout — points ride the
+    # 128-lane axis; the (N, 3) orientation pads 3 -> 128 lanes instead.
+    x1h_T = jnp.concatenate([x1.T, jnp.ones((1, N), x1.dtype)], 0)  # (3, N)
+    x2h_T = jnp.concatenate([x2.T, jnp.ones((1, N), x2.dtype)], 0)
+    Ex1 = jnp.einsum("hij,jn->hin", Es, x1h_T)  # (H, 3, N)
+    Etx2 = jnp.einsum("hji,jn->hin", Es, x2h_T)
+    num = jnp.sum(x2h_T[None] * Ex1, axis=1) ** 2  # (H, N)
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    errs = num / jnp.maximum(den, 1e-12)
     inl = (errs < thr) & valid[None, :]
-    counts = jnp.sum(inl, axis=1)
-    best = jnp.argmax(counts)
+    # MSAC scoring (truncated Sampson loss, lower = better): strictly more
+    # informative than inlier counting — a geometrically tighter model is
+    # not rejected for losing one borderline inlier.  The raw minimal
+    # solves here are unprojected inverse-iteration nullvectors, whose
+    # direction is ULP-sensitive on the near-singular 8-point system;
+    # MSAC lets the stable manifold-projected refits below win.
+    trunc = jnp.where(valid[None, :], jnp.minimum(errs, thr), 0.0)
+    msac = jnp.sum(trunc, axis=1)  # (H,)
+    best = jnp.argmin(msac)
 
-    # refinement on the winning inlier set (weighted 8-point)
-    w = inl[best].astype(x1.dtype)
-    E_ref = essential_8pt(x1, x2, w)
+    # refinement beam: refit the K best-scoring hypotheses on their full
+    # inlier sets with the accurate (eigh + manifold-projection) 8-point
+    # solve; keep the lowest-MSAC model (cv::findEssentialMat's final
+    # polish, widened to a beam — leading hypothesis scores are usually
+    # within noise of each other)
+    KR = min(4, H)
+    _, cand = jax.lax.top_k(-msac, KR)  # (KR,) lowest-score hypotheses
+    w_c = inl[cand].astype(x1.dtype)  # (KR, N)
+    E_c = jax.vmap(lambda w: essential_8pt(x1, x2, w))(w_c)
+    err_c = jax.vmap(lambda E: sampson_error(E, x1, x2))(E_c)
+    inl_c = (err_c < thr) & valid[None, :]
+    msac_c = jnp.sum(jnp.where(valid[None, :], jnp.minimum(err_c, thr), 0.0), 1)
+    # the raw best hypothesis stays in the beam as a fallback
+    all_E = jnp.concatenate([E_c, Es[best][None]], 0)
+    all_inl = jnp.concatenate([inl_c, inl[best][None]], 0)
+    all_m = jnp.concatenate([msac_c, msac[best][None]], 0)
+    j = jnp.argmin(all_m)
+    E_fin, inl_fin, m_fin = all_E[j], all_inl[j], all_m[j]
+    # one more weighted polish round, kept only if the score improves
+    E_ref = essential_8pt(x1, x2, inl_fin.astype(x1.dtype))
     err_ref = sampson_error(E_ref, x1, x2)
     inl_ref = (err_ref < thr) & valid
-    # keep the refined model only if it does not lose inliers
-    better = jnp.sum(inl_ref) >= counts[best]
-    E_fin = jnp.where(better, E_ref, Es[best])
-    inl_fin = jnp.where(better, inl_ref, inl[best])
+    m_ref = jnp.sum(jnp.where(valid, jnp.minimum(err_ref, thr), 0.0))
+    better = m_ref <= m_fin
+    E_fin = jnp.where(better, E_ref, E_fin)
+    inl_fin = jnp.where(better, inl_ref, inl_fin)
     return RansacResult(E_fin, inl_fin, jnp.sum(inl_fin), best.astype(jnp.int32))
 
 
