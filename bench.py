@@ -88,12 +88,18 @@ def main():
     boot = jax.jit(lambda k, a, b: vo.bootstrap(k, a, b, cfg))
     tracker = vo.make_tracker(cfg)
 
-    # ---- accuracy guard (the bench is invalid if parity breaks) ----------
+    # ---- accuracy gate (the bench is invalid if parity breaks) -----------
+    # HARD gate, not a report: if the tracked trajectory leaves the
+    # reference's error envelope (mean 0.210 / max 0.371 from
+    # output/errors.txt; gate at ate<=0.25, mean<=0.30), vs_baseline is
+    # zeroed so a fast-but-wrong operating point can never post a headline
+    # (the round-2 failure mode).
     state0, _ = boot(key, f0, f1)
     state, logs = tracker(state0, frames_curr, frames_next)
     poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], logs.pose], 0)
     res = evaluate(np.asarray(poses), seq.gt_pose, cfg)
     acc = metrics_dict(res)
+    accuracy_ok = acc["ate_rmse"] <= 0.25 and acc["trans_err_mean"] <= 0.30
 
     # ---- latency mode ----------------------------------------------------
     tracker_lat = vo.make_tracker(cfg_lat)
@@ -138,14 +144,16 @@ def main():
         "metric": "vo_frames_per_second",
         "value": round(fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / CPP_BASELINE_FPS, 3),
+        "vs_baseline": round(fps / CPP_BASELINE_FPS, 3) if accuracy_ok else 0.0,
         "extra": {
+            "accuracy_gate_ok": accuracy_ok,
             "fps_latency_1seq": round(fps_latency, 1),
             "fps_throughput_batch": round(fps_throughput, 1),
             "batch": B,
             "device": str(jax.devices()[0]),
             "ate_rmse": round(acc["ate_rmse"], 4),
             "trans_err_mean": round(acc["trans_err_mean"], 4),
+            "ate_robot": round(acc["ate_robot"], 4),
             "map_count": int(state.map_count),
             "cpp_baseline_fps": CPP_BASELINE_FPS,
         },

@@ -65,20 +65,6 @@ def essential_8pt(x1, x2, weights=None):
     return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], E.dtype)) @ Vt
 
 
-def essential_8pt_fast(x1, x2):
-    """Hypothesis-grade 8-point solve for the RANSAC batch: smallest
-    eigenvector by unrolled-Cholesky inverse iteration, no manifold
-    projection (Sampson scoring ranks hypotheses fine without it, and the
-    winner is refit with the accurate path).  Replaces 512 batched 9x9
-    ``eigh`` + 3x3 SVD calls — the dominant bootstrap cost on TPU."""
-    from tpuvo.ops.linalg_small import smallest_eigvec_inverse_iteration
-
-    A = _epipolar_rows(x1, x2)  # (S, 9)
-    AtA = A.T @ A
-    e = smallest_eigvec_inverse_iteration(AtA)
-    return e.reshape(3, 3)
-
-
 def sampson_error(E, x1, x2):
     """First-order geometric (Sampson) epipolar error in normalized coords."""
     x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], -1)  # (N, 3)
@@ -139,50 +125,38 @@ def ransac_essential(key, x1, x2, valid, cfg: RansacConfig, focal: float) -> Ran
     thr = (cfg.inlier_threshold_px / focal) ** 2
     # Sampson scores for every hypothesis in (3, N) layout — points ride the
     # 128-lane axis; the (N, 3) orientation pads 3 -> 128 lanes instead.
+    # Precision pinned explicitly: hypothesis voting is decision-sensitive
+    # (the bootstrap E seeds the entire map), so this must stay true-f32
+    # even if the package-level jax_default_matmul_precision override
+    # (tpuvo/__init__.py) is relaxed via TPUVO_MATMUL_PRECISION.
+    hp = jax.lax.Precision.HIGHEST
     x1h_T = jnp.concatenate([x1.T, jnp.ones((1, N), x1.dtype)], 0)  # (3, N)
     x2h_T = jnp.concatenate([x2.T, jnp.ones((1, N), x2.dtype)], 0)
-    Ex1 = jnp.einsum("hij,jn->hin", Es, x1h_T)  # (H, 3, N)
-    Etx2 = jnp.einsum("hji,jn->hin", Es, x2h_T)
+    Ex1 = jnp.einsum("hij,jn->hin", Es, x1h_T, precision=hp)  # (H, 3, N)
+    Etx2 = jnp.einsum("hji,jn->hin", Es, x2h_T, precision=hp)
     num = jnp.sum(x2h_T[None] * Ex1, axis=1) ** 2  # (H, N)
     den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
     errs = num / jnp.maximum(den, 1e-12)
     inl = (errs < thr) & valid[None, :]
-    # MSAC scoring (truncated Sampson loss, lower = better): strictly more
-    # informative than inlier counting — a geometrically tighter model is
-    # not rejected for losing one borderline inlier.  The raw minimal
-    # solves here are unprojected inverse-iteration nullvectors, whose
-    # direction is ULP-sensitive on the near-singular 8-point system;
-    # MSAC lets the stable manifold-projected refits below win.
-    trunc = jnp.where(valid[None, :], jnp.minimum(errs, thr), 0.0)
-    msac = jnp.sum(trunc, axis=1)  # (H,)
-    best = jnp.argmin(msac)
+    # Inlier-count voting (cv::findEssentialMat RANSAC semantics).  Round 2
+    # briefly used MSAC (truncated-loss argmin) here; it picked different,
+    # geometrically tighter-scoring winners whose *inlier sets* seeded a
+    # worse map under the TPU fp path (BENCH_r02 ATE 0.54 vs 0.19) and
+    # regressed the synthetic-noise suite on CPU too — reverted.
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
 
-    # refinement beam: refit the K best-scoring hypotheses on their full
-    # inlier sets with the accurate (eigh + manifold-projection) 8-point
-    # solve; keep the lowest-MSAC model (cv::findEssentialMat's final
-    # polish, widened to a beam — leading hypothesis scores are usually
-    # within noise of each other)
-    KR = min(4, H)
-    _, cand = jax.lax.top_k(-msac, KR)  # (KR,) lowest-score hypotheses
-    w_c = inl[cand].astype(x1.dtype)  # (KR, N)
-    E_c = jax.vmap(lambda w: essential_8pt(x1, x2, w))(w_c)
-    err_c = jax.vmap(lambda E: sampson_error(E, x1, x2))(E_c)
-    inl_c = (err_c < thr) & valid[None, :]
-    msac_c = jnp.sum(jnp.where(valid[None, :], jnp.minimum(err_c, thr), 0.0), 1)
-    # the raw best hypothesis stays in the beam as a fallback
-    all_E = jnp.concatenate([E_c, Es[best][None]], 0)
-    all_inl = jnp.concatenate([inl_c, inl[best][None]], 0)
-    all_m = jnp.concatenate([msac_c, msac[best][None]], 0)
-    j = jnp.argmin(all_m)
-    E_fin, inl_fin, m_fin = all_E[j], all_inl[j], all_m[j]
-    # one more weighted polish round, kept only if the score improves
-    E_ref = essential_8pt(x1, x2, inl_fin.astype(x1.dtype))
+    # refinement on the winning inlier set with the accurate
+    # (eigh + manifold-projection) 8-point solve — the analog of
+    # cv::findEssentialMat's final polish.  Kept only if it does not lose
+    # inliers (the raw minimal solve stays as fallback).
+    w = inl[best].astype(x1.dtype)
+    E_ref = essential_8pt(x1, x2, w)
     err_ref = sampson_error(E_ref, x1, x2)
     inl_ref = (err_ref < thr) & valid
-    m_ref = jnp.sum(jnp.where(valid, jnp.minimum(err_ref, thr), 0.0))
-    better = m_ref <= m_fin
-    E_fin = jnp.where(better, E_ref, E_fin)
-    inl_fin = jnp.where(better, inl_ref, inl_fin)
+    better = jnp.sum(inl_ref) >= counts[best]
+    E_fin = jnp.where(better, E_ref, Es[best])
+    inl_fin = jnp.where(better, inl_ref, inl[best])
     return RansacResult(E_fin, inl_fin, jnp.sum(inl_fin), best.astype(jnp.int32))
 
 
