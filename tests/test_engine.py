@@ -68,9 +68,12 @@ def test_synthetic_closed_loop():
     state, logs, poses, diag = run_sequence(seq)
     res = evaluate(poses, gt)
     m = metrics_dict(res)
-    assert m["trans_err_mean"] < 0.05
+    # the robot-frame metric removes the camera-mount artifact (the legacy
+    # camera-vs-robot comparison has a nonzero floor from the rotating
+    # 0.2 m offset even for a perfect trajectory)
+    assert m["trans_err_robot_mean"] < 0.05
     assert m["rot_err_fixed_mean"] < 0.02
-    assert m["ate_rmse"] < 0.05
+    assert m["ate_robot"] < 0.05
 
 
 def test_synthetic_with_noise():
@@ -81,9 +84,9 @@ def test_synthetic_with_noise():
     state, logs, poses, diag = run_sequence(seq)
     res = evaluate(poses, gt)
     # monocular drift with 0.3 px noise and tiny (0.2 m) baselines; the
-    # bound just guards against gross divergence (the exact value is
-    # chaotic in the bootstrap's fp path — MSAC-selected RANSAC lands
-    # this seed at 0.63 where count-voting landed it at 0.53)
+    # bound guards against gross divergence.  Multi-seed envelope measured
+    # with count-voting RANSAC (seeds 7-11): ate 0.40-0.68 — the spread is
+    # genuine seed chaos in the bootstrap, so the bound sits just above it
     assert metrics_dict(res)["ate_rmse"] < 0.75
 
 

@@ -119,7 +119,34 @@ def make_problem(n_pts=120, noise=0.5, pose_err=0.05, seed=0):
     return world.xyz[sel].astype(np.float32), obs.astype(np.float32), T_cw, T0
 
 
-def test_matches_numpy_oracle():
+def test_matches_numpy_oracle_fixed_rounds():
+    """Exact per-round math parity: disable the convergence check (it is a
+    razor-edge fp decision — see test below) and compare the state after a
+    fixed number of GN rounds against the sequential numpy port."""
+    pts, obs, T_gt, T0 = make_problem()
+    cfg = PICPConfig(
+        kernel_threshold=3000.0, max_iterations=6, convergence_threshold=-1.0
+    )
+    corrs = [(i, i) for i in range(len(pts))]
+    T_ref, it_ref, ninl_ref, chi_ref = oracle_picp(
+        T0.copy(), pts, obs, corrs, cfg, CFG.width, CFG.height
+    )
+    res = picp.solve(
+        jnp.asarray(K), jnp.asarray(T0), jnp.asarray(pts), jnp.asarray(obs),
+        jnp.arange(len(pts), dtype=jnp.int32), jnp.ones(len(pts), bool),
+        CFG.width, CFG.height, cfg,
+    )
+    assert int(res.iterations) == it_ref == 6
+    assert int(res.num_inliers) == ninl_ref
+    np.testing.assert_allclose(np.asarray(res.T), T_ref, atol=5e-4)
+    assert np.isclose(float(res.chi_inliers), chi_ref, rtol=1e-3)
+
+
+def test_matches_numpy_oracle_stopping_rule():
+    """With the rel-chi stopping rule active, the batched reduction and the
+    sequential oracle may disagree by one round when the relative
+    improvement lands exactly at the threshold (different fp summation
+    order); the converged POSE must still agree."""
     pts, obs, T_gt, T0 = make_problem()
     cfg = PICPConfig(kernel_threshold=3000.0)
     corrs = [(i, i) for i in range(len(pts))]
@@ -131,7 +158,7 @@ def test_matches_numpy_oracle():
         jnp.arange(len(pts), dtype=jnp.int32), jnp.ones(len(pts), bool),
         CFG.width, CFG.height, cfg,
     )
-    assert int(res.iterations) == it_ref
+    assert abs(int(res.iterations) - it_ref) <= 1
     assert int(res.num_inliers) == ninl_ref
     np.testing.assert_allclose(np.asarray(res.T), T_ref, atol=5e-4)
     assert np.isclose(float(res.chi_inliers), chi_ref, rtol=1e-3)

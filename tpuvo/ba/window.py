@@ -213,11 +213,37 @@ def schur_reduce(Hpp, bp, Hll, bl, Wfl, fixed, damping):
     return S, b_red, Hll_inv, None
 
 
-def ba_step(problem: BAProblem, K, width, height, cfg: BAConfig):
-    """One Levenberg-damped GN iteration of windowed BA."""
+def eval_robust_chi(problem: BAProblem, K, width, height, cfg: BAConfig):
+    """Truncated robust objective sum(min(chi_i, thr)) over valid obs.
+
+    Used by the LM accept/reject test.  A VALID observation whose point
+    projects outside the image/z-range counts the full threshold — else a
+    diverging pose that culls its own residuals would look like progress.
+    """
+    thr = cfg.huber_threshold
+
+    def per_frame(T, uv, lm, valid):
+        X = problem.points[lm]
+        valid = valid & problem.point_valid[lm]
+        uv_hat, ok, _, _ = project_points_with_cam(K, T, X, width, height)
+        e = jnp.where((valid & ok)[:, None], uv_hat - uv, 0.0)
+        chi = jnp.sum(e * e, -1)
+        per = jnp.where(ok, jnp.minimum(chi, thr), thr)
+        return jnp.sum(jnp.where(valid, per, 0.0))
+
+    return jnp.sum(jax.vmap(per_frame)(
+        problem.poses, problem.obs_uv, problem.obs_lm, problem.obs_valid))
+
+
+def ba_step(problem: BAProblem, K, width, height, cfg: BAConfig, damping=None):
+    """One Levenberg-damped GN iteration of windowed BA.
+
+    damping: optional traced scalar overriding cfg.damping (the adaptive
+    LM loop in ba_solve threads its current lambda through here)."""
+    damping = cfg.damping if damping is None else damping
     Hpp, bp, Hll, bl, Wfl, stats = linearize_ba(problem, K, width, height, cfg)
     S, b_red, Hll_inv, WHinv = schur_reduce(
-        Hpp, bp, Hll, bl, Wfl, problem.fixed, cfg.damping
+        Hpp, bp, Hll, bl, Wfl, problem.fixed, damping
     )
     c, low = jax.scipy.linalg.cho_factor(S)
     dx_p = jax.scipy.linalg.cho_solve((c, low), -b_red).reshape(-1, 6)  # (W, 6)
@@ -287,12 +313,49 @@ def ba_solve(problem: BAProblem, K, width, height, cfg: BAConfig,
     else:
         prob_act = problem
 
-    def body(_, carry):
-        prob, _ = carry
-        return ba_step(prob, K, width, height, cfg)
+    if cfg.lm_adaptive:
+        # Levenberg-Marquardt trust-region loop: one trial step per
+        # iteration against the truncated robust objective.  Rejected or
+        # non-finite steps are rolled back with lambda x4; accepted steps
+        # relax lambda x0.5.  This is what lets ONE solver config cover
+        # both near-converged windows (tiny lambda ~ pure GN) and
+        # far-from-optimum full-trajectory restarts, where fixed small
+        # damping diverges (non-finite poses at damping 1e-3 on the
+        # 60-frame KITTI-scale fixture).
+        def body(_, carry):
+            prob, lam, chi_prev, stats = carry
+            prob_new, stats_new = ba_step(prob, K, width, height, cfg, lam)
+            chi_new = eval_robust_chi(prob_new, K, width, height, cfg)
+            finite = (
+                jnp.isfinite(chi_new)
+                & jnp.all(jnp.isfinite(prob_new.poses))
+                & jnp.all(jnp.isfinite(prob_new.points))
+            )
+            accept = finite & (chi_new <= chi_prev)
+            prob = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), prob_new, prob)
+            stats = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), stats_new, stats)
+            lam = jnp.where(
+                accept,
+                jnp.maximum(lam * 0.5, cfg.damping),
+                jnp.minimum(lam * 4.0, 1e8),
+            )
+            chi_prev = jnp.where(accept, chi_new, chi_prev)
+            return prob, lam, chi_prev, stats
 
-    dummy = BAStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
-    prob, stats = jax.lax.fori_loop(0, cfg.iterations, body, (prob_act, dummy))
+        chi0 = eval_robust_chi(prob_act, K, width, height, cfg)
+        dummy = BAStats(chi0, jnp.int32(0), jnp.int32(0))
+        prob, _, _, stats = jax.lax.fori_loop(
+            0, cfg.iterations, body,
+            (prob_act, jnp.float32(cfg.damping_init), chi0, dummy))
+    else:
+        def body(_, carry):
+            prob, _ = carry
+            return ba_step(prob, K, width, height, cfg)
+
+        dummy = BAStats(jnp.float32(0), jnp.int32(0), jnp.int32(0))
+        prob, stats = jax.lax.fori_loop(0, cfg.iterations, body, (prob_act, dummy))
 
     if use_compact:
         scatter_idx = jnp.where(slot_used, active_old, L)

@@ -102,9 +102,15 @@ class BAConfig:
     max_landmarks: int = MAP_CAPACITY
     max_obs_per_frame: int = MAX_OBS
     iterations: int = 10
-    damping: float = 1.0e-3
+    damping: float = 1.0e-3          # minimum / fixed-mode LM damping
     huber_threshold: float = 3000.0  # same saturating kernel as PICP
     keep_outliers: bool = False      # False = exclude like PICP (picp_solver.cpp:86-89)
+    # Adaptive Levenberg-Marquardt: trial step per iteration, rejected /
+    # non-finite steps roll back with lambda x4, accepted relax x0.5 toward
+    # ``damping``.  Off = fixed-damping GN (the sharded scaling benchmark
+    # keeps this off so every iteration is identical work).
+    lm_adaptive: bool = True
+    damping_init: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -132,8 +138,14 @@ class EngineConfig:
         (-1.0, 0.0, 0.0),
         (0.0, -1.0, 0.0),
     )
-    # translation part of cam_transform from camera.dat (ignored in parity mode)
-    cam_to_image_translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # translation part of cam_transform from camera.dat: the camera sits
+    # 0.2 m ahead of the robot origin.  The reference ignores it
+    # (cam.cpp:18-26) — parity mode's cam_to_image() drops it too — but the
+    # bundled measurements were demonstrably rendered WITH it (projecting
+    # world.dat through gt_pose·mount reproduces every observation to
+    # ~0.002 px only when the offset is applied), so the honest robot-frame
+    # evaluation metric needs it.
+    cam_to_image_translation: Tuple[float, float, float] = (0.2, 0.0, 0.0)
 
     n_frames: int = 121
     max_obs: int = MAX_OBS
@@ -214,6 +226,16 @@ class EngineConfig:
         T[:3, :3] = np.array(self.cam_to_image_rotation, dtype=np.float32)
         if self.mode == "fixed":
             T[:3, 3] = np.array(self.cam_to_image_translation, dtype=np.float32)
+        return T
+
+    def mount_T(self) -> np.ndarray:
+        """4x4 camera-in-robot mount transform (camera.dat cam_transform),
+        ALWAYS including the 0.2 m x-offset — used by the robot-frame
+        evaluation metric, which must model how the data was generated
+        rather than follow the reference's dropped-offset quirk."""
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array(self.cam_to_image_rotation, dtype=np.float32)
+        T[:3, 3] = np.array(self.cam_to_image_translation, dtype=np.float32)
         return T
 
     def replace(self, **kw) -> "EngineConfig":

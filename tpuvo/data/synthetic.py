@@ -10,8 +10,9 @@ workloads (100k landmarks) for the distributed BA benchmarks.
 
 Conventions match the dataset: ground-truth poses are planar (x, y, theta)
 robot poses; the camera is mounted with the axis remap from cam.cpp:18-26
-(optical axis = world +x when theta = 0), i.e. camera-in-robot =
-``cfg.cam_to_image()``.
+(optical axis = world +x when theta = 0) plus the 0.2 m x-offset from
+camera.dat, i.e. camera-in-robot = ``cfg.mount_T()`` — the same generator
+model that demonstrably produced the bundled measurements.
 """
 
 from __future__ import annotations
@@ -87,9 +88,7 @@ def camera_pose_from_gt(gt_xyt: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     T_wr = np.eye(4, dtype=np.float32)
     T_wr[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     T_wr[:3, 3] = [x, y, 0.0]
-    T_rc = np.eye(4, dtype=np.float32)
-    T_rc[:3, :3] = np.array(cfg.cam_to_image_rotation, np.float32)
-    return T_wr @ T_rc
+    return T_wr @ cfg.mount_T()
 
 
 def render_sequence(

@@ -82,6 +82,90 @@ def _refine_run(poses_all, points, point_valid, map_desc, desc, valid,
     return poses_all, points, ys
 
 
+@partial(jax.jit, static_argnames=("cfg", "ba_cfg", "n_sweeps"))
+def _refine_global_run(poses_all, points, point_valid, map_desc, desc, valid,
+                       obs_uv, K, cfg, ba_cfg, n_sweeps):
+    """Full-trajectory joint BA as one compiled program.
+
+    Unlike the windowed sweep, the gauge is fixed ONLY at poses 0 and 1 —
+    the start of the trajectory, where drift is minimal (pose 0 is the
+    identity by construction and the 0-1 baseline carries the monocular
+    scale).  Every other pose and every observed landmark is free, so the
+    optimizer can pull the whole trajectory into global consistency
+    instead of being re-anchored to the drifted prefix window by window.
+
+    Matching is descriptor-only and the map descriptors are frozen, so the
+    correspondence topology is computed ONCE; sweeps restart the GN solve
+    (fresh inlier/outlier classification against the refined geometry).
+    """
+    F = poses_all.shape[0]
+    fixed = jnp.arange(F) < 2
+
+    def match_frame(inp):
+        d, v = inp
+        r = match_descriptors(
+            d, v, map_desc, point_valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            cfg.matcher.method,
+        )
+        return r.idx, r.valid
+
+    obs_lm, obs_valid = jax.lax.map(match_frame, (desc, valid))
+
+    def sweep(carry, _):
+        poses_all, points = carry
+        wic = jax.vmap(lie.inv_se3)(poses_all)
+        prob = BAProblem(
+            poses=wic, points=points,
+            obs_uv=obs_uv, obs_lm=obs_lm, obs_valid=obs_valid,
+            point_valid=point_valid, fixed=fixed,
+        )
+        prob2, stats = ba_solve(prob, K, cfg.width, cfg.height, ba_cfg)
+        ok = jnp.all(jnp.isfinite(prob2.poses))
+        new_cw = jax.vmap(lie.inv_se3)(prob2.poses)
+        poses_out = jnp.where((ok & ~fixed)[:, None, None], new_cw, poses_all)
+        pt_ok = ok & jnp.all(jnp.isfinite(prob2.points), axis=1)
+        points_out = jnp.where(pt_ok[:, None], prob2.points, points)
+        return (poses_out, points_out), (stats.chi, stats.num_inliers, ~ok)
+
+    (poses_all, points), ys = jax.lax.scan(
+        sweep, (poses_all, points), None, length=n_sweeps)
+    return poses_all, points, ys
+
+
+def refine_trajectory_global(
+    state,
+    seq,
+    poses,
+    cfg: EngineConfig | None = None,
+    ba_cfg: BAConfig | None = None,
+    n_sweeps: int = 2,
+):
+    """Joint BA over ALL poses + landmarks (the accuracy-first refiner).
+
+    poses: (F, 4, 4) camera-in-world from the tracker.
+    Returns (refined poses, refined map_xyz, stats list — one per sweep).
+    """
+    cfg = cfg or EngineConfig()
+    ba_cfg = ba_cfg or BAConfig()
+    K = jnp.asarray(cfg.K())
+    poses0 = jnp.asarray(poses, jnp.float32)
+    poses_ref, points_ref, (chis, inliers, skipped) = _refine_global_run(
+        poses0, jnp.asarray(state.map_xyz), jnp.asarray(state.map_valid),
+        jnp.asarray(state.map_desc), jnp.asarray(seq.desc),
+        jnp.asarray(seq.valid), jnp.asarray(seq.uv), K,
+        cfg, ba_cfg, n_sweeps,
+    )
+    poses_ref, points_ref, chis, inliers, skipped = jax.device_get(
+        (poses_ref, points_ref, chis, inliers, skipped))
+    stats_out = [
+        {"sweep": i, "chi": float(chis[i]), "inliers": int(inliers[i]),
+         "skipped": bool(skipped[i])}
+        for i in range(len(chis))
+    ]
+    return poses_ref, points_ref, stats_out
+
+
 def refine_trajectory(
     state,
     seq,
