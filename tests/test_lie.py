@@ -97,3 +97,17 @@ def test_umeyama_reflection_correction():
     T = np.asarray(lie.umeyama(jnp.asarray(src), jnp.asarray(dst)))
     s = np.linalg.norm(T[:3, 0])
     assert np.linalg.det(T[:3, :3] / s) > 0
+
+
+def test_se3_log_exp_roundtrip():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        xi = rng.uniform(-1.0, 1.0, 6).astype(np.float32)
+        T = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+        xi2 = np.asarray(lie.se3_log(jnp.asarray(T)))
+        assert np.allclose(xi2, xi, atol=1e-4), (xi, xi2)
+    # small-angle branch
+    xi = np.array([0.3, -0.2, 0.1, 1e-8, -1e-8, 1e-9], np.float32)
+    T = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+    xi2 = np.asarray(lie.se3_log(jnp.asarray(T)))
+    assert np.allclose(xi2, xi, atol=1e-5)

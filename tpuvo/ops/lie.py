@@ -143,15 +143,50 @@ def se3_exp(xi):
 def so3_log(R):
     """Rotation matrix -> axis-angle vector (inverse of so3_exp).
 
-    Safe at theta -> 0 (series limit) and clamped at theta -> pi.
+    atan2 formulation, differentiable THROUGH theta = 0: the arccos form's
+    derivative is -inf at cos = 1, which turned the pose-graph's jacfwd
+    edge Jacobians into NaN exactly when an edge was satisfied (R_err = I).
+    Valid for |theta| < pi (the chart's own domain); batchable.
     """
-    cos_t = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    v = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    # v = 2 sin(theta) * axis; scale = theta / (2 sin theta), series at 0
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(sin_t > 1e-6, theta / (2.0 * sin_t), 0.5 + theta * theta / 12.0)
-    return v * scale
+    v = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        -1,
+    )  # = 2 sin(theta) * axis
+    s2 = jnp.sum(v * v, -1)  # = 4 sin^2(theta)
+    # eps inside the sqrt keeps its jvp finite at v = 0 (biases theta by
+    # ~5e-13 rad, far below f32 resolution of any real rotation)
+    sin_t = 0.5 * jnp.sqrt(s2 + 1e-24)
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arctan2(sin_t, cos_t)
+    scale = jnp.where(
+        s2 > 1e-12, theta / (2.0 * sin_t), 0.5 + theta * theta / 12.0
+    )
+    return v * scale[..., None]
+
+
+def se3_log(T):
+    """SE(3) logarithm: 4x4 rigid transform -> twist (v, w) with
+    se3_exp(se3_log(T)) = T.  Inverse of the V-matrix applied to t."""
+    w = so3_log(T[:3, :3])
+    theta2 = jnp.sum(w * w, -1)
+    theta = jnp.sqrt(theta2 + 1e-32)
+    W = skew(w)
+    W2 = W @ W
+    # V^-1 = I - W/2 + coef·W² with coef = (1 - θ·cos(θ/2)/(2·sin(θ/2)))/θ²
+    half = 0.5 * theta
+    cot_term = jnp.where(
+        theta2 > 1e-12,
+        (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), 1e-20)) / theta2,
+        1.0 / 12.0 + theta2 / 720.0,
+    )
+    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + cot_term * W2
+    v = Vinv @ T[:3, 3]
+    return jnp.concatenate([v, w], -1)
 
 
 def scale_motion(T, alpha):
