@@ -9,6 +9,7 @@ import collections
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -61,6 +62,9 @@ def main():
 
     paths = sorted(glob.glob(os.path.join(args.outdir, "**", "*.xplane.pb"),
                              recursive=True))
+    if not paths:
+        sys.exit(f"no *.xplane.pb trace found under {args.outdir} — "
+                 "did the profiler run?")
     pd = ProfileData.from_file(paths[-1])
     agg = collections.Counter()
     events_total = 0
@@ -70,8 +74,10 @@ def main():
         for line in plane.lines:
             for ev in line.events:
                 name = ev.name
-                # strip trailing fusion numbering: foo.123 -> foo
-                base = name.rstrip("0123456789").rstrip(".")
+                # strip ONLY a trailing '.N' fusion suffix (fusion.123 ->
+                # fusion); a bare rstrip of digits would also mangle names
+                # like convert_f32 -> convert_f
+                base = re.sub(r"\.\d+$", "", name)
                 agg[base] += ev.duration_ns
                 events_total += 1
     total = sum(agg.values())

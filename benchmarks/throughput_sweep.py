@@ -76,10 +76,12 @@ def main():
             for _ in range(args.reps):
                 jax.block_until_ready(batched_j(*a))
             dt = (time.perf_counter() - t0) / args.reps
+            # consistent denominators: fps counts frames (incl. the
+            # bootstrap pair), ms_per_step divides by the same frame count
             print(json.dumps({
                 "matcher": name, "batch": B,
                 "fps": round(B * F / dt, 1),
-                "ms_per_step": round(1e3 * dt / (F - 1), 3),
+                "ms_per_frame": round(1e3 * dt / F, 3),
             }), flush=True)
 
 

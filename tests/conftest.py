@@ -52,3 +52,20 @@ def world(data_dir):
     from tpuvo.data import load_world_points
 
     return load_world_points(os.path.join(data_dir, "world.dat"))
+
+
+def pytest_configure(config):
+    """Build the native loader so tests/test_native.py actually runs
+    (one ~2 s g++ invocation; test_native skips with a clear message only
+    if the toolchain itself is unavailable)."""
+    import subprocess
+
+    csrc = REPO_ROOT / "csrc"
+    if (csrc / "loader.cpp").exists() and not (csrc / "libtpuvo_io.so").exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(csrc)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            pass

@@ -99,3 +99,33 @@ def test_match_starvation_reuses_pose():
     f1, f2 = frame_of(seq, 1), frame_of(seq, 2)
     state2, log = track_step(state, f1, f2, cfg)
     np.testing.assert_array_equal(np.asarray(state2.pose), np.asarray(state.pose))
+
+
+def test_chunked_resume_matches_uninterrupted(tmp_path):
+    """Crash-and-resume mid-sequence reproduces the uninterrupted
+    trajectory: run 1 chunk, 'crash' (max_chunks), then resume from the
+    checkpoint and compare against a straight run_sequence."""
+    import jax.numpy as jnp
+
+    from tpuvo.data import synthetic
+    from tpuvo.engine.vo import run_sequence, run_sequence_chunked
+
+    cfg = EngineConfig(mode="fixed")
+    world = synthetic.make_world(13, n_landmarks=800, xy_extent=8.0)
+    gt = synthetic.make_planar_trajectory(25, seed=13)
+    seq = synthetic.render_sequence(world, gt, cfg, pixel_noise=0.2, seed=13)
+
+    state_ref, logs_ref, poses_ref, _ = run_sequence(seq, cfg)
+
+    ckpt = str(tmp_path / "vo_ckpt.npz")
+    # phase 1: one 10-step chunk, then simulated crash
+    _, poses_partial, step = run_sequence_chunked(
+        seq, cfg, checkpoint_path=ckpt, checkpoint_every=10, max_chunks=1)
+    assert step == 10
+    # phase 2: resume from the checkpoint and finish
+    state2, poses2, step2 = run_sequence_chunked(
+        seq, cfg, checkpoint_path=ckpt, checkpoint_every=10)
+    assert step2 == 24
+    np.testing.assert_allclose(
+        np.asarray(poses2), np.asarray(poses_ref), atol=1e-4)
+    assert int(state2.map_count) == int(state_ref.map_count)

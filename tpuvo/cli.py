@@ -45,13 +45,27 @@ def cmd_run(args):
     from tpuvo.utils.metrics import MetricsLogger, log_frame_logs
 
     cfg, seq = _load(args)
-    state, logs, poses, diag = run_icp(seq, cfg, seed=args.seed)
+    logs = None
+    if args.checkpoint_every > 0:
+        # checkpointed chunked tracking with automatic resume (the
+        # checkpoint lives under --out; delete it to restart from scratch)
+        from tpuvo.engine.vo import run_sequence_chunked
+
+        os.makedirs(args.out, exist_ok=True)
+        state, poses, step = run_sequence_chunked(
+            seq, cfg, seed=args.seed,
+            checkpoint_path=os.path.join(args.out, "checkpoint.npz"),
+            checkpoint_every=args.checkpoint_every,
+        )
+    else:
+        state, logs, poses, diag = run_icp(seq, cfg, seed=args.seed)
     res = evaluate(poses, seq.gt_pose, cfg)
     os.makedirs(args.out, exist_ok=True)
     write_outputs(args.out, res, state, cfg)
     plots.render_all(args.out, res, state, cfg)
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
-    log_frame_logs(logger, logs)
+    if logs is not None:
+        log_frame_logs(logger, logs)
     m = metrics_dict(res)
     logger.log({"event": "summary", **m, "map_count": int(state.map_count)})
     logger.close()
@@ -156,21 +170,35 @@ def cmd_sweep(args):
 
 
 def cmd_refine(args):
-    """Tracking + windowed BA refinement over the whole trajectory."""
+    """Tracking + BA refinement over the whole trajectory.
+
+    --strategy global (default): joint BA over all poses + landmarks,
+    gauge anchored at the trajectory start — the accuracy refiner.
+    --strategy windowed: overlapping-window sweep (the sharded/scaling
+    formulation; local smoothing only).
+    """
     from tpuvo.config import BAConfig
-    from tpuvo.engine.ba_refine import refine_trajectory
+    from tpuvo.engine.ba_refine import refine_trajectory, refine_trajectory_global
     from tpuvo.engine.drivers import run_icp
     from tpuvo.engine.eval import evaluate, metrics_dict
 
     cfg, seq = _load(args)
     state, logs, poses, diag = run_icp(seq, cfg, seed=args.seed)
     m0 = metrics_dict(evaluate(poses, seq.gt_pose, cfg))
-    poses2, points2, stats = refine_trajectory(
-        state, seq, poses, cfg,
-        BAConfig(window=args.window, iterations=args.iterations),
-    )
+    if args.strategy == "global":
+        poses2, points2, stats = refine_trajectory_global(
+            state, seq, poses, cfg,
+            BAConfig(window=seq.uv.shape[0], iterations=args.iterations),
+            n_sweeps=args.sweeps,
+        )
+    else:
+        poses2, points2, stats = refine_trajectory(
+            state, seq, poses, cfg,
+            BAConfig(window=args.window, iterations=args.iterations),
+        )
     m1 = metrics_dict(evaluate(poses2, seq.gt_pose, cfg))
     print(json.dumps({
+        "strategy": args.strategy,
         "tracked": m0, "refined": m1,
         "windows": len(stats),
         "skipped": sum(s.get("skipped", False) for s in stats),
@@ -195,7 +223,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    s = sub.add_parser("run"); s.add_argument("--out", default="output"); s.set_defaults(fn=cmd_run)
+    s = sub.add_parser("run")
+    s.add_argument("--out", default="output")
+    s.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint the tracker state every N frames "
+                        "(0 = off); an existing checkpoint resumes")
+    s.set_defaults(fn=cmd_run)
     s = sub.add_parser("vo"); s.set_defaults(fn=cmd_vo)
     s = sub.add_parser("match-test"); s.set_defaults(fn=cmd_match_test)
     s = sub.add_parser("pose-recovery"); s.add_argument("--out", default=""); s.set_defaults(fn=cmd_pose_recovery)
@@ -209,12 +242,19 @@ def main(argv=None):
     s.add_argument("--thresholds", default="1000,3000,10000")
     s.set_defaults(fn=cmd_sweep)
     s = sub.add_parser("refine")
+    s.add_argument("--strategy", default="global", choices=["global", "windowed"])
     s.add_argument("--window", type=int, default=10)
-    s.add_argument("--iterations", type=int, default=8)
+    s.add_argument("--iterations", type=int, default=15)
+    s.add_argument("--sweeps", type=int, default=2)
     s.set_defaults(fn=cmd_refine)
     s = sub.add_parser("bench"); s.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    # multi-host entry: initializes jax.distributed when the coordinator
+    # env vars are set (no-op single-host); raises loudly on failure
+    from tpuvo.parallel.mesh import maybe_distributed_init
+
+    maybe_distributed_init()
     args.fn(args)
 
 

@@ -51,8 +51,6 @@ def run_vo(seq: FrameObservations, cfg: EngineConfig | None = None, seed: int = 
             convergence_threshold=0.0,  # never triggers: rel >= 0 > -eps
         )
     )
-    # convergence_threshold=0 makes rel < thr false always -> exactly 5... no:
-    # max_iterations bounds the loop; rel < 0.0 is never true, so all 5 run.
     state, logs, poses, diag = vo_mod.run_sequence(seq, cfg, seed)
 
     # path-length-ratio scale (vo.cpp:216-223) instead of Umeyama
@@ -81,7 +79,6 @@ def run_match_test(seq: FrameObservations, cfg: EngineConfig | None = None):
     cfg = cfg or EngineConfig()
     F = seq.uv.shape[0]
 
-    @jax.jit
     # all pairs in ONE vmapped dispatch and one device->host pull (the
     # per-pair loop paid a dispatch + 3 scalar round-trips per frame)
     @jax.jit

@@ -56,3 +56,9 @@ class FrameLog(NamedTuple):
     n_frame_matches: jnp.ndarray  # 2D-2D matches
     n_new_points: jnp.ndarray   # landmarks triangulated this frame
     map_count: jnp.ndarray
+    # silent-cap visibility: candidates beyond max_new_landmarks_per_frame
+    # and appends beyond map_capacity are DROPPED — these count them so a
+    # dataset denser than the caps shows up in the logs, not as invisible
+    # map corruption
+    n_dropped_candidates: jnp.ndarray
+    n_dropped_overflow: jnp.ndarray

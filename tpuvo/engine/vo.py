@@ -22,6 +22,7 @@ round-trips.  Map growth is a masked scatter into preallocated slots.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -288,6 +289,10 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         state._replace(pose=new_pose, vel=vel_new),
         pts, desc_c, idr_c, idm_c, keep,
     )
+    # cap visibility (see FrameLog): candidates past the Kc compaction
+    # slots, and keeps past map capacity, are dropped — count both
+    n_cand_dropped = jnp.sum(is_new & (offs_new >= Kc)).astype(jnp.int32)
+    n_overflow = (jnp.sum(keep) - n_added).astype(jnp.int32)
 
     log = FrameLog(
         pose=new_pose,
@@ -300,6 +305,8 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         n_frame_matches=jnp.sum(m_img.valid),
         n_new_points=n_added,
         map_count=state2.map_count,
+        n_dropped_candidates=n_cand_dropped,
+        n_dropped_overflow=n_overflow,
     )
     return state2, log
 
@@ -318,6 +325,8 @@ def _pack_log(log: FrameLog):
         log.n_frame_matches.astype(jnp.float32),
         log.n_new_points.astype(jnp.float32),
         log.map_count.astype(jnp.float32),
+        log.n_dropped_candidates.astype(jnp.float32),
+        log.n_dropped_overflow.astype(jnp.float32),
     ])
     return log.pose, stats
 
@@ -330,6 +339,7 @@ def _unpack_logs(poses, stats) -> FrameLog:
         num_inliers=i32(s[0]), chi_inliers=s[1], iterations=i32(s[2]),
         converged=s[3] > 0.5, n_map_matches=i32(s[4]), n_map_correct=i32(s[5]),
         n_frame_matches=i32(s[6]), n_new_points=i32(s[7]), map_count=i32(s[8]),
+        n_dropped_candidates=i32(s[9]), n_dropped_overflow=i32(s[10]),
     )
 
 
@@ -375,6 +385,73 @@ def run_sequence(seq, cfg: EngineConfig | None = None, seed: int = 42):
 
     poses = jnp.concatenate([jnp.eye(4, dtype=jnp.float32)[None], logs.pose], axis=0)
     return state, logs, poses, diag
+
+
+def run_sequence_chunked(
+    seq,
+    cfg: EngineConfig | None = None,
+    seed: int = 42,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 30,
+    resume: bool = True,
+    max_chunks: int | None = None,
+):
+    """Checkpointed tracking: the frame scan runs in ``checkpoint_every``-
+    step chunks with a host checkpoint (state + poses-so-far) after each.
+
+    Identical math to ``run_sequence`` — the same scanned ``track_step``,
+    just with scan boundaries at chunk edges (two compiled programs: the
+    chunk and the tail).  With ``resume=True`` an existing checkpoint at
+    ``checkpoint_path`` restarts tracking mid-sequence; the returned
+    trajectory matches the uninterrupted run.
+
+    ``max_chunks`` stops after that many chunks (fault-injection hook for
+    resume tests: simulates a crash between checkpoints).
+
+    Returns (state, poses (F, 4, 4), step_idx) — step_idx < F-1 when
+    interrupted by max_chunks.
+    """
+    from tpuvo.utils.checkpoint import load_state, save_state
+
+    cfg = cfg or EngineConfig()
+    F = seq.uv.shape[0]
+    n_steps = F - 1
+
+    start = 0
+    poses_done = None
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, start, extra = load_state(checkpoint_path)
+        poses_done = jnp.asarray(extra["poses"])
+    else:
+        key = jax.random.PRNGKey(seed)
+        boot = jax.jit(lambda k, a, b: bootstrap(k, a, b, cfg))
+        state, _ = boot(key, frame_of(seq, 0), frame_of(seq, 1))
+        poses_done = jnp.zeros((0, 4, 4), jnp.float32)
+
+    chunks_run = 0
+    step = start
+    pose_chunks = [poses_done]
+    tracker = make_tracker(cfg)  # one jitted callable; caches per chunk shape
+    while step < n_steps:
+        if max_chunks is not None and chunks_run >= max_chunks:
+            break
+        hi = min(step + checkpoint_every, n_steps)
+        state, logs = tracker(
+            state, frames_of(seq, step, hi), frames_of(seq, step + 1, hi + 1)
+        )
+        pose_chunks.append(logs.pose)
+        step = hi
+        chunks_run += 1
+        if checkpoint_path:
+            save_state(
+                checkpoint_path, jax.tree.map(jnp.asarray, state), step,
+                extra={"poses": jnp.concatenate(pose_chunks, axis=0)},
+            )
+
+    poses_steps = jnp.concatenate(pose_chunks, axis=0)
+    poses = jnp.concatenate(
+        [jnp.eye(4, dtype=jnp.float32)[None], poses_steps], axis=0)
+    return state, poses, step
 
 
 def run_threshold_sweep(seq, thresholds, cfg: EngineConfig | None = None, seed: int = 42):

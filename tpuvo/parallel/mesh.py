@@ -23,15 +23,26 @@ from jax.sharding import Mesh
 def maybe_distributed_init():
     """Initialize jax.distributed when launched multi-host (no-op otherwise).
 
-    Controlled by the standard JAX_COORDINATOR / cluster env vars; safe to
-    call unconditionally at CLI startup.
+    Opt-in via the standard coordinator env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID); called at CLI startup.  A failed
+    initialization RAISES — a silently single-process run of a job the
+    user launched as multi-host would shard nothing and psum with itself.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    global _DIST_INITIALIZED
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr and not _DIST_INITIALIZED:
+        # NOTE: must run before anything touches the XLA backend
+        # (jax.devices()/process_count() would lock in single-process mode)
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        _DIST_INITIALIZED = True
     return jax.process_count()
+
+
+_DIST_INITIALIZED = False
 
 
 def local_mesh(n_devices: int | None = None, axis: str = "lm") -> Mesh:

@@ -64,6 +64,8 @@ def log_frame_logs(logger: MetricsLogger, logs, prefix: str = "frame"):
         "n_frame_matches": np.asarray(logs.n_frame_matches),
         "n_new_points": np.asarray(logs.n_new_points),
         "map_count": np.asarray(logs.map_count),
+        "n_dropped_candidates": np.asarray(logs.n_dropped_candidates),
+        "n_dropped_overflow": np.asarray(logs.n_dropped_overflow),
     }
     n = len(fields["num_inliers"])
     for i in range(n):
