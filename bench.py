@@ -12,7 +12,9 @@ single-sequence tracking is latency-bound by the sequential GN chain, so the
 chip is saturated by batching independent sequences — the same program
 vmapped over a batch axis):
   * latency  — one sequence, frames/s = F / wall
-  * throughput — vmap over B sequence replicas, frames/s = B*F / wall
+  * throughput — vmap over B DISTINCT sequences (per-lane pixel noise +
+    PRNG keys, so per-lane match/iteration schedules differ),
+    frames/s = B*F / wall
 """
 
 import json
@@ -117,7 +119,11 @@ def main():
     lat_s = (time.perf_counter() - t0) / reps
     fps_latency = F / lat_s
 
-    # ---- throughput mode: vmapped batch of sequences ---------------------
+    # ---- throughput mode: vmapped batch of DISTINCT sequences ------------
+    # Each lane gets its own pixel noise (sigma 0.25 px, detector-level) and
+    # PRNG key, so matches, inlier sets and GN iteration counts differ per
+    # lane — the batched while_loop runs the max-lane schedule, and the
+    # number measures 256 independent streams, not one stream 256 times.
     B = int(os.environ.get("TPUVO_BENCH_BATCH", "256"))
 
     def batched(k, bf0, bf1, bc, bn):
@@ -128,10 +134,21 @@ def main():
     batched_j = jax.jit(batched)
     tile = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape)
     keys = jax.random.split(key, B)
-    bf0 = jax.tree.map(tile, f0)
-    bf1 = jax.tree.map(tile, f1)
-    bc = jax.tree.map(tile, frames_curr)
-    bn = jax.tree.map(tile, frames_next)
+
+    def perturb(frames, salt):
+        t = jax.tree.map(tile, frames)
+        noise = 0.25 * jax.random.normal(
+            jax.random.PRNGKey(1000 + salt), t.uv.shape, t.uv.dtype)
+        return t._replace(uv=t.uv + noise * t.valid[..., None])
+
+    # frame i appears as frames_next[i-1] AND frames_curr[i]: perturb the
+    # full frame axis once so both views of a frame see the same pixels
+    ball = perturb(vo.frames_of(seq, 0, F), 0)
+    sl = lambda fr, lo, hi: jax.tree.map(lambda x: x[:, lo:hi], fr)
+    bf0 = jax.tree.map(lambda x: x[:, 0], ball)
+    bf1 = jax.tree.map(lambda x: x[:, 1], ball)
+    bc = sl(ball, 0, F - 1)
+    bn = sl(ball, 1, F)
     jax.block_until_ready(batched_j(keys, bf0, bf1, bc, bn))  # warm
     t0 = time.perf_counter()
     for _ in range(reps):

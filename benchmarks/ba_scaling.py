@@ -84,7 +84,9 @@ def bench_single(W=10, L=512, obs=128, iters=20, reps=3):
     from tpuvo.config import BAConfig
 
     cfg, prob = build_problem(W, L, obs)
-    ba_cfg = BAConfig(iterations=iters)
+    # fixed-damping GN: every iteration is identical work (the adaptive-LM
+    # accept/reject adds a chi evaluation, which would skew iters/s)
+    ba_cfg = BAConfig(iterations=iters, lm_adaptive=False)
     K = jnp.asarray(cfg.K())
     solve = jax.jit(lambda p: ba_solve(p, K, cfg.width, cfg.height, ba_cfg))
     jax.block_until_ready(solve(prob)[0].poses)
@@ -148,8 +150,9 @@ def fair_scaling(big_L: int, obs: int = 128, reps_note: str = ""):
     if n < 2:
         return None
     here = os.path.abspath(__file__)
+    reps = int(os.environ.get("TPUVO_BA_FAIR_REPS", "5"))
 
-    def run(n_dev, cores):
+    def run_once(n_dev, cores):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
@@ -162,11 +165,21 @@ def fair_scaling(big_L: int, obs: int = 128, reps_note: str = ""):
             raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
         return json.loads(out.stdout.strip().splitlines()[-1])["iters_per_s"]
 
-    one = run(1, "0")
-    many = run(n, ",".join(str(i) for i in range(n)))
+    def run_median(n_dev, cores):
+        # median-of-N against run-to-run noise (one cold subprocess each —
+        # compile time is excluded inside the worker, but the OS scheduler
+        # is not; report the spread alongside the median)
+        vals = sorted(run_once(n_dev, cores) for _ in range(reps))
+        return vals[len(vals) // 2], vals[0], vals[-1]
+
+    one, one_lo, one_hi = run_median(1, "0")
+    many, many_lo, many_hi = run_median(n, ",".join(str(i) for i in range(n)))
     return {
+        "fair_reps": reps,
         "fair_1dev_1core_iters_per_s": round(one, 2),
+        "fair_1dev_spread": [round(one_lo, 2), round(one_hi, 2)],
         f"fair_{n}dev_{n}core_iters_per_s": round(many, 2),
+        f"fair_{n}dev_spread": [round(many_lo, 2), round(many_hi, 2)],
         "fair_scaling_efficiency": round(many / (one * n), 3),
         "fair_n": n,
     }

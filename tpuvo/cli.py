@@ -176,6 +176,9 @@ def cmd_refine(args):
     gauge anchored at the trajectory start — the accuracy refiner.
     --strategy windowed: overlapping-window sweep (the sharded/scaling
     formulation; local smoothing only).
+    --strategy posegraph: windowed BA for local relative poses, then a
+    pose-graph solve fusing the window estimates globally (the
+    hierarchical shape that scales past what global BA can hold).
     """
     from tpuvo.config import BAConfig
     from tpuvo.engine.ba_refine import refine_trajectory, refine_trajectory_global
@@ -191,6 +194,25 @@ def cmd_refine(args):
             BAConfig(window=seq.uv.shape[0], iterations=args.iterations),
             n_sweeps=args.sweeps,
         )
+    elif args.strategy == "posegraph":
+        # hierarchical SLAM shape: windowed BA for accurate LOCAL relative
+        # poses, then a pose graph fusing the overlapping window estimates
+        # with the odometry backbone into one consistent trajectory
+        from tpuvo.ba.posegraph import build_graph, pgo_solve, window_edges
+
+        poses_w, _, stats = refine_trajectory(
+            state, seq, poses, cfg,
+            BAConfig(window=args.window, iterations=args.iterations),
+        )
+        import jax.numpy as jnp
+
+        W = args.window
+        edges = window_edges(jnp.asarray(poses_w), W, max(W // 2, 1))
+        graph = build_graph(poses, extra_edges=[edges])
+        graph2, pgo_stats = pgo_solve(graph, iterations=20)
+        poses2 = np.asarray(graph2.poses)
+        stats = stats + [{"pgo_chi": float(pgo_stats.chi),
+                          "pgo_inliers": int(pgo_stats.num_inliers)}]
     else:
         poses2, points2, stats = refine_trajectory(
             state, seq, poses, cfg,
@@ -242,7 +264,8 @@ def main(argv=None):
     s.add_argument("--thresholds", default="1000,3000,10000")
     s.set_defaults(fn=cmd_sweep)
     s = sub.add_parser("refine")
-    s.add_argument("--strategy", default="global", choices=["global", "windowed"])
+    s.add_argument("--strategy", default="global",
+                   choices=["global", "windowed", "posegraph"])
     s.add_argument("--window", type=int, default=10)
     s.add_argument("--iterations", type=int, default=15)
     s.add_argument("--sweeps", type=int, default=2)
