@@ -97,7 +97,10 @@ def test_ba_recovers_perturbed_poses():
 
 def test_ba_recovers_perturbed_points():
     prob, poses_gt, world = make_ba_problem(point_noise=0.05, seed=2)
-    cfg = BAConfig(iterations=10, damping=1e-3)
+    # 15 iterations: the adaptive-LM lambda starts at 1.0 (scale-relative,
+    # so no longer negligible) and halves per accepted step — the endgame
+    # needs the extra rounds to reach the GN fixed point
+    cfg = BAConfig(iterations=15)
     prob2, stats = ba_solve(prob, K, CFG.width, CFG.height, cfg)
     assert reproj_rms(prob2) < 1e-2
     # observed landmarks pulled back to GT

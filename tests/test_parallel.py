@@ -86,7 +86,10 @@ def _make_problem(W=6, L=256, seed=0):
 
 def test_sharded_ba_matches_single_device(mesh):
     prob, poses_gt, world = _make_problem()
-    cfg = BAConfig(iterations=8, damping=1e-3)
+    # fixed damping on BOTH sides: the sharded driver is fixed-damping by
+    # design (identical work per iteration); with scale-relative damping
+    # the adaptive path's early large lambdas are no longer negligible
+    cfg = BAConfig(iterations=8, damping=1e-3, lm_adaptive=False)
     ref_prob, ref_stats = ba_solve(prob, K, CFG.width, CFG.height, cfg)
 
     sp = shard_ba_problem(prob, 8)

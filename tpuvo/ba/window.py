@@ -67,7 +67,7 @@ class BAStats(NamedTuple):
 
 
 def _per_obs_blocks(K, T, X, uv, valid, width, height, kernel_threshold,
-                    keep_outliers: bool = False):
+                    keep_outliers: bool = False, cull_bounds: bool = True):
     """Linearize one frame's observations.
 
     X: (N, 3) gathered landmark positions; returns per-obs A (N,2,6),
@@ -89,7 +89,7 @@ def _per_obs_blocks(K, T, X, uv, valid, width, height, kernel_threshold,
     JpK = jnp.stack([C0, C1], -2)                              # (N, 2, 3)
     B = jnp.einsum("nik,kl->nil", JpK, T[:3, :3])  # (N, 2, 3) point Jacobian
 
-    ok = valid & proj_ok
+    ok = valid & (proj_ok if cull_bounds else (p_cam[:, 2] > 0.0))
     # zero masked rows before any reduction (inf·0 = NaN hazard, see picp)
     e = jnp.where(ok[:, None], e, 0.0)
     A = jnp.where(ok[:, None, None], A, 0.0)
@@ -115,7 +115,7 @@ def linearize_ba(problem: BAProblem, K, width, height, cfg: BAConfig):
         valid = valid & problem.point_valid[lm]
         A, B, e, w, chi, ok, inlier = _per_obs_blocks(
             K, T, X, uv, valid, width, height, cfg.huber_threshold,
-            cfg.keep_outliers,
+            cfg.keep_outliers, cfg.cull_bounds,
         )
         Hpp_f = jnp.einsum("nki,nkj,n->ij", A, A, w)
         bp_f = jnp.einsum("nki,nk,n->i", A, e, w)
@@ -161,7 +161,9 @@ def invert_hll(Hll, damping):
     I3 = jnp.eye(3, dtype=Hll.dtype)
     Hll_s = 0.5 * (Hll + jnp.swapaxes(Hll, -1, -2))
     tr = Hll_s[:, 0, 0] + Hll_s[:, 1, 1] + Hll_s[:, 2, 2]
-    lam_l = damping + 1e-5 * tr
+    # scale-relative LM damping (see finalize_reduced) + the trace-relative
+    # f32 conditioning floor
+    lam_l = damping * (tr / 3.0 + 1.0) + 1e-5 * tr
     Hll_d = Hll_s + lam_l[:, None, None] * I3[None]
     from tpuvo.ops.linalg_small import inv3
 
@@ -191,11 +193,18 @@ def finalize_reduced(S, b_red, fixed, damping):
     """Gauge-fix + damp the (psum-combined) reduced system.
 
     Gauge: zero the rows/cols of fixed poses and pin their diagonal to 1
-    (exact, and keeps the f32 Cholesky well-conditioned)."""
+    (exact, and keeps the f32 Cholesky well-conditioned).
+
+    Damping is Marquardt SCALE-RELATIVE: S_ii·(1+lambda) + lambda.  An
+    absolute lambda cannot control this system — with the coarse
+    (keep-outliers) kernel on a badly drifted trajectory the diagonal
+    reaches ~1e10+, so any absolute lambda the LM loop can reach leaves
+    the step unchanged and every trial is rejected at the same chi."""
     free = jnp.repeat(~fixed, 6).astype(S.dtype)
     S = S * free[:, None] * free[None, :]
+    d = jnp.diagonal(S)
     diag = jnp.eye(S.shape[0], dtype=S.dtype)
-    S = S + diag * (damping * free + (1.0 - free))
+    S = S + diag * (damping * (d + 1.0) * free + (1.0 - free))
     return S, b_red * free
 
 
@@ -225,7 +234,9 @@ def eval_robust_chi(problem: BAProblem, K, width, height, cfg: BAConfig):
     def per_frame(T, uv, lm, valid):
         X = problem.points[lm]
         valid = valid & problem.point_valid[lm]
-        uv_hat, ok, _, _ = project_points_with_cam(K, T, X, width, height)
+        uv_hat, ok, p_cam, _ = project_points_with_cam(K, T, X, width, height)
+        if not cfg.cull_bounds:  # same cull as the linearization
+            ok = p_cam[:, 2] > 0.0
         e = jnp.where((valid & ok)[:, None], uv_hat - uv, 0.0)
         chi = jnp.sum(e * e, -1)
         per = jnp.where(ok, jnp.minimum(chi, thr), thr)

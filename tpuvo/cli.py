@@ -179,9 +179,13 @@ def cmd_refine(args):
     --strategy posegraph: windowed BA for local relative poses, then a
     pose-graph solve fusing the window estimates globally (the
     hierarchical shape that scales past what global BA can hold).
+    --strategy loop: loop-closure detection + PnP relocalization + PGO +
+    graduated global BA (ba/loop.py — the full drift-repair stack).
     """
     from tpuvo.config import BAConfig
-    from tpuvo.engine.ba_refine import refine_trajectory, refine_trajectory_global
+    from tpuvo.engine.ba_refine import (refine_trajectory,
+                                        refine_trajectory_global,
+                                        refine_trajectory_loop)
     from tpuvo.engine.drivers import run_icp
     from tpuvo.engine.eval import evaluate, metrics_dict
 
@@ -190,6 +194,12 @@ def cmd_refine(args):
     m0 = metrics_dict(evaluate(poses, seq.gt_pose, cfg))
     if args.strategy == "global":
         poses2, points2, stats = refine_trajectory_global(
+            state, seq, poses, cfg,
+            BAConfig(window=seq.uv.shape[0], iterations=args.iterations),
+            n_sweeps=args.sweeps,
+        )
+    elif args.strategy == "loop":
+        poses2, points2, stats = refine_trajectory_loop(
             state, seq, poses, cfg,
             BAConfig(window=seq.uv.shape[0], iterations=args.iterations),
             n_sweeps=args.sweeps,
@@ -265,7 +275,7 @@ def main(argv=None):
     s.set_defaults(fn=cmd_sweep)
     s = sub.add_parser("refine")
     s.add_argument("--strategy", default="global",
-                   choices=["global", "windowed", "posegraph"])
+                   choices=["global", "windowed", "posegraph", "loop"])
     s.add_argument("--window", type=int, default=10)
     s.add_argument("--iterations", type=int, default=15)
     s.add_argument("--sweeps", type=int, default=2)

@@ -75,6 +75,21 @@ class PICPConfig:
     # 28% SLOWER for the batched tracker (8 fixed rounds vs ~5 adaptive),
     # latency-mode neutral-to-positive.  0 = while_loop (parity, default).
     unrolled_rounds: int = 0
+    # Annealed robust kernel (off = reference parity).  The truncated
+    # kernel at a FIXED threshold has a translation-shrinking local
+    # minimum when per-frame motion is large: at the previous-pose init,
+    # the high-flow (near, translation-informative) landmarks already
+    # exceed the threshold, get trimmed, and the solve converges onto the
+    # low-flow subset — a systematic undershoot whose triangulated
+    # landmarks bake the shrunken scale into the map (measured: ~-5%%
+    # scale/frame compounding on 1 m/frame KITTI-scale motion, estimated
+    # path 20 m of a 199 m ground-truth loop).  Annealing sets the
+    # effective threshold each round to max(kernel_threshold,
+    # anneal_mult · median residual chi), so nothing is trimmed until the
+    # solver is in basin; the threshold tightens to the configured value
+    # as residuals shrink (GNC/MSAC-style schedule).
+    annealed_kernel: bool = False
+    anneal_mult: float = 4.0
 
 
 @dataclass(frozen=True)
@@ -102,15 +117,29 @@ class BAConfig:
     max_landmarks: int = MAP_CAPACITY
     max_obs_per_frame: int = MAX_OBS
     iterations: int = 10
-    damping: float = 1.0e-3          # minimum / fixed-mode LM damping
+    # minimum / fixed-mode LM damping.  SCALE-RELATIVE (Marquardt): the
+    # solver adds damping·diag(S), not damping·I — see
+    # ba/window.finalize_reduced.  1e-6 barely perturbs converged GN steps
+    # while the gauge pinning keeps the f32 Cholesky conditioned.
+    damping: float = 1.0e-6
     huber_threshold: float = 3000.0  # same saturating kernel as PICP
     keep_outliers: bool = False      # False = exclude like PICP (picp_solver.cpp:86-89)
+    # True: drop observations whose PREDICTED projection leaves the image
+    # at the current estimate (tracking parity).  False: keep them (only
+    # the z>0 cheirality cull applies) — refinement mode, where the
+    # measured pixel is in-bounds by construction and bounds-culling at a
+    # drifted estimate deletes exactly the loop-closure constraints that
+    # make drift observable.
+    cull_bounds: bool = True
     # Adaptive Levenberg-Marquardt: trial step per iteration, rejected /
     # non-finite steps roll back with lambda x4, accepted relax x0.5 toward
     # ``damping``.  Off = fixed-damping GN (the sharded scaling benchmark
     # keeps this off so every iteration is identical work).
     lm_adaptive: bool = True
     damping_init: float = 1.0
+
+    def replace(self, **kw) -> "BAConfig":
+        return dataclasses.replace(self, **kw)
 
 
 @dataclass(frozen=True)
@@ -201,6 +230,15 @@ class EngineConfig:
     # noisy on the relay; no effect on the vmapped throughput path).
     # Costs compile time roughly linearly.
     scan_unroll: int = 1
+    # SLAM-mode local bundle adjustment (engine/slam.py): every
+    # ``local_ba_every`` frames, jointly re-optimize the last
+    # ``local_ba_window`` poses + their landmarks.  Replaces the per-frame
+    # scale handoff (which collapses on KITTI-scale motion) with a
+    # multi-view one; the knobs below are the measured sweet spot
+    # (W=16/E=2: path 51/59 vs 29/59 plain on the 1 m/frame loop fixture).
+    local_ba_window: int = 16
+    local_ba_every: int = 2
+    local_ba_iterations: int = 10
 
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     picp: PICPConfig = field(default_factory=PICPConfig)

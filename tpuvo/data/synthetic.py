@@ -81,6 +81,35 @@ def make_kitti_like_trajectory(
     return poses
 
 
+def make_loop_trajectory(
+    n_frames: int, step: float = 1.0, seed: int = 0, turn_frames: int = 12
+) -> np.ndarray:
+    """Closed square circuit that returns to the start — the loop-closure
+    case of KITTI seq 00 (which revisits earlier streets many times).
+
+    Four straights + four smooth 90-degree turns filling exactly
+    ``n_frames``; the final pose lands near (0, 0) so late frames re-observe
+    the landmarks mapped at the start.  That co-visibility is what makes
+    accumulated drift *observable* to global BA / pose-graph optimization —
+    on an open path the constraint graph is a chain and scale drift is
+    gauge-like (tests/test_ba_refine.py::test_kitti_like_long_sequence
+    measures exactly that).  Returns (F, 3) gt poses (x, y, theta)."""
+    rng = np.random.default_rng(seed)
+    straight = max((n_frames - 4 * turn_frames) // 4, 1)
+    poses = np.zeros((n_frames, 3), np.float32)
+    phase = []  # per-frame turn rate schedule
+    for _ in range(4):
+        phase += [0.0] * straight
+        phase += [(np.pi / 2) / turn_frames] * turn_frames
+    while len(phase) < n_frames:
+        phase.append(0.0)
+    for i in range(1, n_frames):
+        x, y, th = poses[i - 1]
+        th = th + phase[i - 1] + 0.002 * rng.standard_normal()
+        poses[i] = [x + step * np.cos(th), y + step * np.sin(th), th]
+    return poses
+
+
 def camera_pose_from_gt(gt_xyt: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     """Camera-in-world 4x4 from a planar robot pose (see module docstring)."""
     x, y, th = float(gt_xyt[0]), float(gt_xyt[1]), float(gt_xyt[2])
@@ -113,6 +142,19 @@ def render_sequence(
     K = cfg.K()
     F = len(gt_poses)
 
+    # Per-landmark saliency: when more landmarks are visible than max_obs,
+    # keep the best score = saliency · z² — a PERSISTENT random priority
+    # per landmark (a detector re-fires on the same strong corners frame
+    # after frame, so the observed set churns only at the margin) times a
+    # depth factor that reproduces image-plane-uniform feature density
+    # (a world-uniform cloud projects ∝ z² too many far points).  The
+    # first version kept the NEAREST max_obs instead: depth-ranked
+    # selection swaps the whole observed set on every step of forward
+    # motion, truncating feature lifetimes to a few frames — the rapid
+    # scale handoff let monocular scale drift compound into full collapse
+    # on KITTI-scale motion (estimated path 20 m of a 199 m loop).
+    saliency = rng.uniform(size=len(world.xyz)).astype(np.float32)
+
     uv_a = np.zeros((F, max_obs, 2), np.float32)
     desc_a = np.zeros((F, max_obs, world.desc.shape[1]), np.float32)
     id_meas = np.full((F, max_obs), -1, np.int32)
@@ -133,7 +175,8 @@ def render_sequence(
         ok &= (uv[:, 1] >= 0) & (uv[:, 1] <= cfg.height - 1)
         sel = np.nonzero(ok)[0]
         if len(sel) > max_obs:
-            sel = sel[np.argsort(z[sel])[:max_obs]]  # nearest-first
+            score = saliency[sel] * np.maximum(z[sel], 1.0) ** 2
+            sel = sel[np.argsort(score)[:max_obs]]  # salient, image-uniform
         n = len(sel)
         obs_uv = uv[sel]
         if pixel_noise > 0:

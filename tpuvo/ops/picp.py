@@ -176,11 +176,29 @@ def solve(
         T, prev, it, done, *_ = carry
         return (~done) & (it < cfg.max_iterations)
 
+    thr_cfg = cfg.kernel_threshold if kernel_threshold is None else kernel_threshold
+
+    def _annealed_thr(T):
+        """max(thr, anneal_mult · median chi at the current estimate) —
+        see PICPConfig.annealed_kernel for why."""
+        uv_hat, ok, _, _ = project_points_with_cam(
+            K, T, world_pts, width, height)
+        e = uv_hat - image_uv
+        chi = jnp.sum(e * e, -1)
+        use = corr_valid & ok
+        n = jnp.sum(use)
+        chi_sorted = jnp.sort(jnp.where(use, chi, jnp.inf))
+        med = chi_sorted[jnp.maximum((n - 1) // 2, 0)]
+        med = jnp.where(jnp.isfinite(med), med, 0.0)
+        return jnp.maximum(jnp.asarray(thr_cfg, chi.dtype),
+                           cfg.anneal_mult * med)
+
     def body(carry):
         T, prev, it, done, _n, _ci, _co, _conv = carry
+        thr = _annealed_thr(T) if cfg.annealed_kernel else kernel_threshold
         T2, lin, ok = one_round(
             K, T, world_pts, image_uv, corr_idx, corr_valid, width, height,
-            cfg, kernel_threshold,
+            cfg, thr,
         )
         curr = lin.chi_inliers
         rel = jnp.where(prev > 1e-10, jnp.abs(prev - curr) / prev, 0.0)
