@@ -59,6 +59,9 @@ def main():
         picp=PICPConfig(
             convergence_threshold=1e-4,
             unrolled_rounds=int(os.environ.get("TPUVO_BENCH_GN_UNROLL", "0")),
+            # "pallas": whole GN loop as one Mosaic kernel inside the scan
+            # (TPU only; see PICPConfig.backend)
+            backend=os.environ.get("TPUVO_BENCH_PICP", "xla"),
         ),
         triangulation_refine_iters=int(os.environ.get("TPUVO_BENCH_REFINE", "2")),
     )

@@ -90,6 +90,14 @@ class PICPConfig:
     # as residuals shrink (GNC/MSAC-style schedule).
     annealed_kernel: bool = False
     anneal_mult: float = 4.0
+    # "xla" (default) = ops/picp.py lax.while_loop solver.  "pallas" = the
+    # fused Mosaic kernel (ops/pallas/picp_kernel.py): the ENTIRE GN loop
+    # as one TPU kernel.  Standalone dispatch over the tunneled relay
+    # costs ~0.85 s/call, but embedded in the compiled tracking scan it is
+    # just an on-device op replacing ~40 XLA fusions per GN round — a
+    # latency lever.  Baked-constant threshold: incompatible with the
+    # traced kernel_threshold sweep (falls back to xla there).
+    backend: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -190,7 +190,16 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     else:
         T_prev = state.pose
     T_init = lie.inv_se3(T_prev)  # world-in-camera initial guess
-    if cfg.picp.unrolled_rounds > 0:
+    if cfg.picp.backend == "pallas" and kernel_threshold is None:
+        from tpuvo.ops.pallas.picp_kernel import solve_pallas
+
+        # whole GN loop as one Mosaic kernel (see PICPConfig.backend);
+        # K is baked from the concrete config, not the traced array
+        sol = solve_pallas(
+            cfg.K(), T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
+            cfg.width, cfg.height, cfg.picp,
+        )
+    elif cfg.picp.unrolled_rounds > 0:
         sol = picp.solve_unrolled(
             K, T_init, state.map_xyz, nxt.uv, m_map.idx, m_map.valid,
             cfg.width, cfg.height, cfg.picp, kernel_threshold,
