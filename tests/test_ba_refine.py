@@ -18,6 +18,7 @@ from tpuvo.engine.eval import evaluate, metrics_dict
 from tpuvo.engine.vo import run_sequence
 
 
+@pytest.mark.slow
 def test_global_refine_improves_noisy_synthetic():
     cfg = EngineConfig(mode="fixed")
     world = synthetic.make_world(21, n_landmarks=900, xy_extent=9.0)
@@ -38,6 +39,7 @@ def test_global_refine_improves_noisy_synthetic():
     assert all(np.isfinite(s["chi"]) for s in stats)
 
 
+@pytest.mark.slow
 def test_global_refine_real_sequence(sequence):
     """Bundled 121-frame sequence: the tracked trajectory carries real
     drift in the robot-frame metric (~0.05); global BA recovers the
@@ -74,6 +76,7 @@ def test_windowed_refine_nondegrading_real_prefix(sequence):
     assert m1["ate_rmse"] <= m0["ate_rmse"] * 1.2
 
 
+@pytest.mark.slow
 def test_kitti_like_long_sequence():
     """BASELINE config 4 stand-in: long forward-motion sequence, deeper
     scene, tracking + global BA.  Window BA cannot repair global monocular

@@ -81,6 +81,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_ba_step(tmp_path):
     port = _free_port()
     env_base = {

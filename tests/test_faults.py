@@ -31,6 +31,7 @@ def run(seq, gt, **cfg_kw):
     return metrics_dict(evaluate(poses, gt, cfg)), state
 
 
+@pytest.mark.slow
 def test_outlier_pixels_tolerated(clean_seq):
     """10% of pixels kicked by up to 150 px: tracking must stay graceful
     (finite, bounded drift), and the robust global-BA pass with a tighter

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # module-scoped 120-frame SLAM fixture
+
 from tpuvo.ba.loop import close_loops, covisibility_counts, detect_loops
 from tpuvo.config import BAConfig, EngineConfig, PICPConfig
 from tpuvo.data import synthetic

@@ -119,6 +119,7 @@ def test_sharded_ba_converges(mesh):
     assert err_t.max() < 1e-2
 
 
+@pytest.mark.slow
 def test_sharded_ba_step_runs_jitted(mesh):
     prob, *_ = _make_problem(W=4, L=64, seed=1)
     cfg = BAConfig(iterations=1)

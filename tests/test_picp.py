@@ -287,6 +287,7 @@ def test_unrolled_matches_while_loop():
     assert not bool(short.converged)
 
 
+@pytest.mark.slow
 def test_unrolled_through_track_step():
     """The engine branch (cfg.picp.unrolled_rounds > 0) produces the same
     trajectory as the while_loop path on a synthetic sequence."""

@@ -97,6 +97,7 @@ def test_loop_closure_repairs_drift():
     assert ate1 < 0.5 * ate0
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     from tpuvo.parallel.mesh import local_mesh
     from tpuvo.parallel.posegraph_sharded import sharded_pgo_solve

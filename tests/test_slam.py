@@ -39,6 +39,7 @@ def _path_len(poses):
     return float(np.linalg.norm(np.diff(t, axis=0), axis=1).sum())
 
 
+@pytest.mark.slow
 def test_slam_holds_scale_where_plain_tracking_collapses():
     cfg, gt, seq, gt_cam = _kitti_fixture()
     gt_path = _path_len(gt_cam)
@@ -59,6 +60,7 @@ def test_slam_holds_scale_where_plain_tracking_collapses():
     assert m_slam["ate_rmse"] < 0.5 * m_plain["ate_rmse"]
 
 
+@pytest.mark.slow
 def test_slam_nondegrading_on_easy_sequence():
     """Slow, well-conditioned motion: SLAM mode must not hurt."""
     cfg = EngineConfig(mode="fixed", n_frames=40, map_capacity=4096,
@@ -76,6 +78,7 @@ def test_slam_nondegrading_on_easy_sequence():
     assert m_slam["ate_rmse"] <= m_plain["ate_rmse"] * 1.25 + 0.02
 
 
+@pytest.mark.slow
 def test_slam_real_sequence_nondegrading(sequence):
     """Bundled 121-frame dataset: SLAM mode stays within the reference
     accuracy envelope (BASELINE.md: mean 0.210)."""

@@ -8,6 +8,7 @@ from tpuvo.engine.eval import evaluate, metrics_dict
 from tpuvo.engine.vo import run_sequence, run_threshold_sweep
 
 
+@pytest.mark.slow
 def test_sweep_matches_individual_runs(sequence):
     thresholds = [1000.0, 3000.0, 10000.0]
     states, logs, poses = run_threshold_sweep(sequence, thresholds)

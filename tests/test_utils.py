@@ -40,6 +40,7 @@ def test_checkpoint_roundtrip(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_orbax_checkpoint_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     from tpuvo.utils.checkpoint import OrbaxCheckpointer
@@ -101,6 +102,7 @@ def test_match_starvation_reuses_pose():
     np.testing.assert_array_equal(np.asarray(state2.pose), np.asarray(state.pose))
 
 
+@pytest.mark.slow
 def test_chunked_resume_matches_uninterrupted(tmp_path):
     """Crash-and-resume mid-sequence reproduces the uninterrupted
     trajectory: run 1 chunk, 'crash' (max_chunks), then resume from the

@@ -69,15 +69,18 @@ def detect_loops(C, min_gap: int, min_shared: int, max_edges: int):
     return pairs, jnp.maximum(top, 0.0), valid
 
 
-def _relocalize_pair(key, K, poses, map_xyz, uv, obs_lm, obs_valid, pair, pv,
-                     width, height, min_shared):
+def _relocalize_pair(key, K, poses, map_xyz, map_valid, uv, obs_lm,
+                     obs_valid, pair, pv, width, height, min_shared):
     """One loop edge: robust PnP of the late frame on the shared early
     landmarks.  RANSAC, not plain DLT — the map positions carry tracking
     noise including gross outliers (see ops/pnp.pnp_ransac); the edge is
     kept only when >= min_shared correspondences survive as inliers."""
     i, j = pair[0], pair[1]
     lm_i = jnp.where(obs_valid[i], obs_lm[i], -1)
-    shared = obs_valid[j] & jnp.any(
+    # map_valid gate: callers whose obs_valid comes straight from the
+    # matcher are already gated, but raw matches would otherwise feed
+    # garbage-position map slots into the RANSAC relocalization
+    shared = obs_valid[j] & map_valid[obs_lm[j]] & jnp.any(
         obs_lm[j][:, None] == lm_i[None, :], axis=-1)
     X = map_xyz[obs_lm[j]]
     kp = jax.random.fold_in(key, i * poses.shape[0] + j)
@@ -114,7 +117,7 @@ def close_loops(K, poses, map_xyz, map_valid, uv, obs_lm, obs_valid,
         key = jax.random.PRNGKey(0)
     Z, w = jax.vmap(
         lambda p, v: _relocalize_pair(
-            key, K, poses, map_xyz, uv, obs_lm, obs_valid, p, v,
+            key, K, poses, map_xyz, map_valid, uv, obs_lm, obs_valid, p, v,
             width, height, min_shared)
     )(pairs, pvalid)
 

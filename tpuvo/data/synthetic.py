@@ -143,7 +143,9 @@ def render_sequence(
     F = len(gt_poses)
 
     # Per-landmark saliency: when more landmarks are visible than max_obs,
-    # keep the best score = saliency · z² — a PERSISTENT random priority
+    # keep the LOWEST-scored landmarks under score = saliency · z² (i.e.
+    # keep-probability ∝ 1/z², image-uniform density) — a PERSISTENT
+    # random priority
     # per landmark (a detector re-fires on the same strong corners frame
     # after frame, so the observed set churns only at the margin) times a
     # depth factor that reproduces image-plane-uniform feature density
