@@ -69,14 +69,25 @@ def main():
         "full": base,
         "gn1": dataclasses.replace(
             base, picp=dataclasses.replace(base.picp, max_iterations=1)),
+        "refine0": dataclasses.replace(base, triangulation_refine_iters=0),
         "fused": dataclasses.replace(base, fuse_frame_matchers=True),
         "motion": dataclasses.replace(base, motion_model_init=True),
         "fused_motion": dataclasses.replace(
             base, fuse_frame_matchers=True, motion_model_init=True),
+        "pallas_gn": dataclasses.replace(
+            base, picp=dataclasses.replace(base.picp, backend="pallas")),
+        "pallas_fused_motion": dataclasses.replace(
+            base, fuse_frame_matchers=True, motion_model_init=True,
+            picp=dataclasses.replace(base.picp, backend="pallas")),
+        "unroll8": dataclasses.replace(base, scan_unroll=8),
     }
     res = {}
     for name, cfg in variants.items():
-        med, iters, ate = measure(cfg, seq, args.reps)
+        try:
+            med, iters, ate = measure(cfg, seq, args.reps)
+        except Exception as e:  # e.g. pallas unsupported on this backend
+            print(json.dumps({name: {"error": str(e)[:200]}}), flush=True)
+            continue
         res[name] = {"ms_per_frame": round(1e3 * med / F, 4),
                      "fps": round(F / med, 1), "mean_iters": round(iters, 2),
                      "ate_rmse": round(ate, 4)}

@@ -131,6 +131,30 @@ def main():
     solve1 = jax.jit(lambda p: ba_solve(p, K, cfg.width, cfg.height, ba1))
     t_solve1 = timeit(lambda: jax.block_until_ready(solve1(prob)[0].poses))
 
+    # fixed-overhead attribution inside ba_solve
+    from tpuvo.ba.window import _compact_active, eval_robust_chi
+
+    L = prob.points.shape[0]
+    La = min(L, W * prob.obs_lm.shape[1] + 1)
+    compact_j = jax.jit(lambda lm, v: _compact_active(lm, v, L, La))
+    t_compact = timeit(lambda: jax.block_until_ready(
+        compact_j(prob.obs_lm, prob.obs_valid)[0]))
+    new_lm, active_old = compact_j(prob.obs_lm, prob.obs_valid)
+    slot_used = active_old < L
+    scatter_idx = jnp.where(slot_used, active_old, L)
+    pts_act = prob.points[jnp.clip(active_old, 0, L - 1)]
+    scatter_j = jax.jit(
+        lambda pts, act: pts.at[scatter_idx].set(act, mode="drop"))
+    t_scatter = timeit(lambda: jax.block_until_ready(
+        scatter_j(prob.points, pts_act)))
+    chi_j = jax.jit(lambda p: eval_robust_chi(p, K, cfg.width, cfg.height,
+                                              ba_cfg))
+    t_chi = timeit(lambda: jax.block_until_ready(chi_j(prob)))
+    solve1nc = jax.jit(lambda p: ba_solve(p, K, cfg.width, cfg.height, ba1,
+                                          compact=False))
+    t_solve1_nocompact = timeit(lambda: jax.block_until_ready(
+        solve1nc(prob)[0].poses))
+
     out = {
         "bench": "slam_breakdown",
         "frames": F,
@@ -142,6 +166,10 @@ def main():
         "win_match_ms": round(1e3 * t_match, 3),
         "ba_solve10_ms": round(1e3 * t_solve, 3),
         "ba_solve1_ms": round(1e3 * t_solve1, 3),
+        "ba_solve1_nocompact_ms": round(1e3 * t_solve1_nocompact, 3),
+        "compact_ms": round(1e3 * t_compact, 3),
+        "scatter_back_ms": round(1e3 * t_scatter, 3),
+        "chi_eval_ms": round(1e3 * t_chi, 3),
         "slam_fps": round((F - 1) / t_slam, 1),
         "track_fps": round((F - 1) / t_track, 1),
         "device": str(jax.devices()[0]),

@@ -35,7 +35,6 @@ from tpuvo.ba.window import BAProblem, ba_solve
 from tpuvo.config import BAConfig, EngineConfig
 from tpuvo.engine import vo
 from tpuvo.ops import lie
-from tpuvo.ops.match import match_descriptors
 
 
 def _local_ba_cfg(cfg: EngineConfig) -> BAConfig:
@@ -54,30 +53,32 @@ def _slam_scan(state, poses_all, frames: vo.Frame, cfg: EngineConfig):
     (final state, corrected poses_all, FrameLog stack, n_ba_runs).
 
     ``frames``: the whole sequence as a stacked Frame ((F, ...) leaves).
+
+    The local-BA branch reuses the 2D-3D correspondences the tracker
+    already computed: each step's ``(m_map.idx, m_map.valid)`` lands in a
+    W-slot ring buffer (slot = frame % W), and ``do_ba`` gathers the
+    window rows from the ring instead of re-matching W frames against the
+    full map (the round-3 design re-matched — 28 ms of the 96 ms per-BA
+    cost at a 8k-capacity map).  A frame's carried matches only see
+    landmarks that existed when it was tracked (standard local-mapping
+    semantics); landmarks appended later are picked up by later frames.
     """
     K = jnp.asarray(cfg.K())
     F = frames.uv.shape[0]
+    N = frames.uv.shape[1]
     W = cfg.local_ba_window
     E = cfg.local_ba_every
     ba_cfg = _local_ba_cfg(cfg)
 
-    def match_frame(inp, map_desc, map_valid):
-        d, v = inp
-        r = match_descriptors(
-            d, v, map_desc, map_valid,
-            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
-            cfg.matcher.method,
-        )
-        return r.idx, r.valid
-
     def do_ba(carry):
-        state, poses_all, k = carry
+        state, poses_all, buf_lm, buf_valid, k = carry
         lo = k - W + 1
+        # ring -> window order: frame f lives in slot f % W
+        ring = jnp.mod(lo + jnp.arange(W, dtype=jnp.int32), W)
+        obs_lm = buf_lm[ring]
+        obs_valid = buf_valid[ring]
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, W, axis=0)
         win_poses = sl(poses_all)
-        obs_lm, obs_valid = jax.lax.map(
-            lambda iv: match_frame(iv, state.map_desc, state.map_valid),
-            (sl(frames.desc), sl(frames.valid)))
         wic = jax.vmap(lie.inv_se3)(win_poses)
         fixed = jnp.arange(W) < 2  # gauge+scale anchor to the prefix
         prob = BAProblem(
@@ -96,24 +97,30 @@ def _slam_scan(state, poses_all, frames: vo.Frame, cfg: EngineConfig):
             map_xyz=jnp.where(ok, prob2.points, state.map_xyz),
             pose=poses_all[k],
         )
-        return state, poses_all, jnp.int32(1)
+        return state, poses_all, buf_lm, buf_valid, jnp.int32(1)
 
     def step(carry, k):
-        state, poses_all, n_ba = carry
+        state, poses_all, buf_lm, buf_valid, n_ba = carry
         curr = jax.tree.map(lambda a: a[k - 1], frames)
         nxt = jax.tree.map(lambda a: a[k], frames)
-        state, log = vo.track_step(state, curr, nxt, cfg)
+        state, log, (m_idx, m_valid) = vo.track_step(
+            state, curr, nxt, cfg, return_matches=True)
         poses_all = poses_all.at[k].set(log.pose)
-        state, poses_all, ran = jax.lax.cond(
+        slot = jnp.mod(k, W)
+        buf_lm = buf_lm.at[slot].set(m_idx)
+        buf_valid = buf_valid.at[slot].set(m_valid)
+        state, poses_all, buf_lm, buf_valid, ran = jax.lax.cond(
             (k >= W) & (k % E == 0),
             do_ba,
-            lambda c: (c[0], c[1], jnp.int32(0)),
-            (state, poses_all, k),
+            lambda c: (c[0], c[1], c[2], c[3], jnp.int32(0)),
+            (state, poses_all, buf_lm, buf_valid, k),
         )
-        return (state, poses_all, n_ba + ran), log
+        return (state, poses_all, buf_lm, buf_valid, n_ba + ran), log
 
-    (state, poses_all, n_ba), logs = jax.lax.scan(
-        step, (state, poses_all, jnp.int32(0)),
+    buf_lm = jnp.zeros((W, N), jnp.int32)
+    buf_valid = jnp.zeros((W, N), bool)
+    (state, poses_all, _, _, n_ba), logs = jax.lax.scan(
+        step, (state, poses_all, buf_lm, buf_valid, jnp.int32(0)),
         jnp.arange(1, F, dtype=jnp.int32))
     return state, poses_all, logs, n_ba
 

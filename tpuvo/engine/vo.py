@@ -153,12 +153,18 @@ def bootstrap(key, f0: Frame, f1: Frame, cfg: EngineConfig) -> Tuple[VOState, di
 
 
 def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
-               kernel_threshold=None) -> Tuple[VOState, FrameLog]:
+               kernel_threshold=None, return_matches: bool = False):
     """One tracking iteration (icp_test.cpp:61-136). Jittable, scannable.
 
     kernel_threshold: optional traced scalar overriding cfg.picp's robust
     threshold — lets a whole tracker run be vmapped over a threshold axis
-    (the batched inlier-rejection sweep)."""
+    (the batched inlier-rejection sweep).
+
+    return_matches: additionally return the frame's 2D-3D map
+    correspondences ``(m_map.idx, m_map.valid)`` — the SLAM-mode scan
+    (engine/slam.py) carries these in a ring buffer so its local-BA branch
+    never re-matches window frames against the map (the re-match was 28 ms
+    of the 96 ms round-3 local-BA cost on TPU)."""
     K = jnp.asarray(cfg.K())
 
     # --- 2D-3D: match next frame's descriptors against the map -----------
@@ -325,6 +331,8 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         n_dropped_candidates=n_cand_dropped,
         n_dropped_overflow=n_overflow,
     )
+    if return_matches:
+        return state2, log, (m_map.idx, m_map.valid)
     return state2, log
 
 
