@@ -66,27 +66,40 @@ class OrbaxCheckpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep),
         )
 
-    def save(self, step: int, state: VOState, extra: dict | None = None):
+    def save(self, step: int, state, extra: dict | None = None):
+        """``state``: a VOState or any NamedTuple/dict pytree of arrays
+        (e.g. a mesh-sharded BA state — each host writes only the shards
+        it owns)."""
         ocp = self._ocp
-        payload = {"state": state._asdict()}
+        payload = {"state": state._asdict() if hasattr(state, "_asdict")
+                   else dict(state)}
         if extra:
             payload["extra"] = dict(extra)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 
-    def restore(self, step: int | None = None, target: VOState | None = None):
-        """Returns (VOState, extra dict). ``target`` (optional) provides the
-        abstract tree — dtypes/shapes/shardings — to restore onto."""
+    def restore(self, step: int | None = None, target=None):
+        """Returns (state, extra dict). ``target`` (optional) provides the
+        abstract tree — dtypes/shapes/shardings — to restore onto (pass a
+        tree of ShapeDtypeStruct with shardings to reshard onto a live
+        mesh); the restored state is rebuilt as ``type(target)`` when the
+        target is a NamedTuple, else returned as the saved dict/VOState."""
         ocp = self._ocp
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no orbax checkpoint found")
         args = None
         if target is not None:
-            args = ocp.args.StandardRestore({"state": target._asdict()})
+            tdict = target._asdict() if hasattr(target, "_asdict") else dict(target)
+            args = ocp.args.StandardRestore({"state": tdict})
         out = self._mgr.restore(step, args=args)
         extra = out.get("extra", {})
-        return VOState(**out["state"]), extra
+        sdict = out["state"]
+        if target is not None and hasattr(target, "_asdict"):
+            return type(target)(**sdict), extra
+        if target is None and set(sdict) == set(VOState._fields):
+            return VOState(**sdict), extra
+        return sdict, extra
 
     def latest_step(self):
         return self._mgr.latest_step()
