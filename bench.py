@@ -106,15 +106,45 @@ def main():
     acc = metrics_dict(res)
     accuracy_ok = acc["ate_rmse"] <= 0.25 and acc["trans_err_mean"] <= 0.30
 
+    # ---- ON-HARDWARE golden gate: per-frame row-wise deviation vs the
+    # reference's shipped scaled trajectory (icp_test.cpp:147-210 output).
+    # ATE/mean alone is a single aggregate — a TPU-only drift localized in
+    # a few frames (the r02 failure mode) can hide under it; the per-frame
+    # max cannot.  Thresholds = 2x the measured CPU fixed-mode envelope
+    # (dev mean 0.058 / max 0.137 vs estimated_trajectory_scaled.txt).
+    golden = {}
+    golden_ok = True
+    ref_traj = os.path.join(
+        os.path.dirname(data_dir), "output", "estimated_trajectory_scaled.txt")
+    if os.path.exists(ref_traj):
+        ref = np.loadtxt(ref_traj)
+        est_t = res.poses_world[:, :3, 3] * res.scale
+        dev = np.linalg.norm(est_t[:, :2] - ref[:, 1:3], axis=1)
+        golden = {
+            "golden_dev_mean": round(float(dev.mean()), 4),
+            "golden_dev_max": round(float(dev.max()), 4),
+        }
+        golden_ok = dev.mean() <= 0.12 and dev.max() <= 0.30
+    accuracy_ok = bool(accuracy_ok and golden_ok)
+
     # ---- latency mode ----------------------------------------------------
+    # cfg_lat may enable different solver/matcher paths than the
+    # throughput config, so its trajectory is gated independently — a fast
+    # latency mode that breaks parity zeroes latency_vs_baseline.
     tracker_lat = vo.make_tracker(cfg_lat)
 
     def run_once():
         s, _ = boot(key, f0, f1)
         s, lg = tracker_lat(s, frames_curr, frames_next)
         jax.block_until_ready(lg.pose)
+        return lg
 
-    run_once()  # warm
+    lg_lat = run_once()  # warm
+    poses_lat = jnp.concatenate(
+        [jnp.eye(4, dtype=jnp.float32)[None], lg_lat.pose], 0)
+    acc_lat = metrics_dict(evaluate(np.asarray(poses_lat), seq.gt_pose, cfg_lat))
+    latency_accuracy_ok = (
+        acc_lat["ate_rmse"] <= 0.25 and acc_lat["trans_err_mean"] <= 0.30)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -168,12 +198,20 @@ def main():
         "extra": {
             "accuracy_gate_ok": accuracy_ok,
             "fps_latency_1seq": round(fps_latency, 1),
+            # the single-stream race vs the C++ core, gated on its own
+            # config's accuracy so it can never silently regress again
+            "latency_vs_baseline": (
+                round(fps_latency / CPP_BASELINE_FPS, 3)
+                if latency_accuracy_ok else 0.0),
+            "latency_accuracy_ok": latency_accuracy_ok,
+            "latency_ate_rmse": round(acc_lat["ate_rmse"], 4),
             "fps_throughput_batch": round(fps_throughput, 1),
             "batch": B,
             "device": str(jax.devices()[0]),
             "ate_rmse": round(acc["ate_rmse"], 4),
             "trans_err_mean": round(acc["trans_err_mean"], 4),
             "ate_robot": round(acc["ate_robot"], 4),
+            **golden,
             "map_count": int(state.map_count),
             "cpp_baseline_fps": CPP_BASELINE_FPS,
         },
