@@ -128,19 +128,39 @@ def linearize_ba(problem: BAProblem, K, width, height, cfg: BAConfig):
     Hpp, bp, HB, blB, Wb, w, chi, ok, inlier = jax.vmap(per_frame)(
         problem.poses, problem.obs_uv, problem.obs_lm, problem.obs_valid
     )
-    # scatter per-obs landmark blocks into (L, ...) via segment-sum
-    lm_flat = problem.obs_lm.reshape(-1)
-    Hll = jax.ops.segment_sum(
-        HB.reshape(-1, 3, 3), lm_flat, num_segments=L
-    )
-    bl = jax.ops.segment_sum(blB.reshape(-1, 3), lm_flat, num_segments=L)
-    # coupling blocks per (landmark, frame): scatter with combined index
-    fidx = jnp.broadcast_to(
-        jnp.arange(W, dtype=jnp.int32)[:, None], problem.obs_lm.shape
-    ).reshape(-1)
-    Wfl = jax.ops.segment_sum(
-        Wb.reshape(-1, 6, 3), lm_flat * W + fidx, num_segments=L * W
-    ).reshape(L, W, 6, 3)
+    N = problem.obs_lm.shape[1]
+    if cfg.assembly == "onehot":
+        # per-frame one-hot matmul assembly: scatter-adds serialize on TPU
+        # (the L·W-segment Wfl scatter dominated the in-scan local-BA
+        # iteration), but the same sums are a (W, L, N) x (W, N, 30)
+        # batched matmul — MXU work with f32 accumulation (exact for the
+        # 0/1 one-hot; accumulation order differs from segment_sum by
+        # ~1e-6 relative).  Rows with w=0 contribute zero blocks, so no
+        # masking of the one-hot itself is needed.
+        slots = jnp.arange(L, dtype=jnp.int32)
+        oh = (slots[None, :, None] == problem.obs_lm[:, None, :]).astype(
+            HB.dtype)                                   # (W, L, N)
+        payload = jnp.concatenate(
+            [HB.reshape(W, N, 9), blB, Wb.reshape(W, N, 18)], axis=-1)
+        out = jnp.einsum("wln,wnp->wlp", oh, payload,
+                         preferred_element_type=jnp.float32)  # (W, L, 30)
+        Hll = jnp.sum(out[..., :9], axis=0).reshape(L, 3, 3)
+        bl = jnp.sum(out[..., 9:12], axis=0)
+        Wfl = jnp.transpose(out[..., 12:], (1, 0, 2)).reshape(L, W, 6, 3)
+    else:
+        # scatter per-obs landmark blocks into (L, ...) via segment-sum
+        lm_flat = problem.obs_lm.reshape(-1)
+        Hll = jax.ops.segment_sum(
+            HB.reshape(-1, 3, 3), lm_flat, num_segments=L
+        )
+        bl = jax.ops.segment_sum(blB.reshape(-1, 3), lm_flat, num_segments=L)
+        # coupling blocks per (landmark, frame): scatter with combined index
+        fidx = jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[:, None], problem.obs_lm.shape
+        ).reshape(-1)
+        Wfl = jax.ops.segment_sum(
+            Wb.reshape(-1, 6, 3), lm_flat * W + fidx, num_segments=L * W
+        ).reshape(L, W, 6, 3)
 
     contrib = (w > 0)
     stats = BAStats(

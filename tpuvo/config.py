@@ -145,6 +145,12 @@ class BAConfig:
     # keeps this off so every iteration is identical work).
     lm_adaptive: bool = True
     damping_init: float = 1.0
+    # Landmark-block assembly: "segsum" scatters per-observation blocks
+    # with jax.ops.segment_sum (scatter-adds serialize on TPU); "onehot"
+    # assembles them as per-frame (La, N) one-hot matmuls on the MXU —
+    # same sums, different accumulation order (fp-equivalent to ~1e-6).
+    # "onehot" is the TPU-fast path for the in-scan local BA.
+    assembly: str = "segsum"
 
     def replace(self, **kw) -> "BAConfig":
         return dataclasses.replace(self, **kw)

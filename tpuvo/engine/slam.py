@@ -44,46 +44,60 @@ def _local_ba_cfg(cfg: EngineConfig) -> BAConfig:
         huber_threshold=cfg.ba.huber_threshold,
         max_landmarks=cfg.map_capacity,
         cull_bounds=False,  # refinement semantics (see BAConfig.cull_bounds)
+        assembly="onehot",  # MXU landmark-block assembly (TPU scatter-adds
+                            # serialize; see BAConfig.assembly)
     )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _slam_scan(state, poses_all, frames: vo.Frame, cfg: EngineConfig):
+def _slam_scan(state, poses_all, frames_curr: vo.Frame,
+               frames_next: vo.Frame, cfg: EngineConfig):
     """Track frames 1..F-1 with interleaved local BA.  Returns
     (final state, corrected poses_all, FrameLog stack, n_ba_runs).
 
-    ``frames``: the whole sequence as a stacked Frame ((F, ...) leaves).
+    ``frames_curr``/``frames_next``: the (F-1)-step frame pairs, scanned
+    as scan-xs exactly like the plain tracker.
 
-    The local-BA branch reuses the 2D-3D correspondences the tracker
-    already computed: each step's ``(m_map.idx, m_map.valid)`` lands in a
-    W-slot ring buffer (slot = frame % W), and ``do_ba`` gathers the
-    window rows from the ring instead of re-matching W frames against the
-    full map (the round-3 design re-matched — 28 ms of the 96 ms per-BA
-    cost at a 8k-capacity map).  A frame's carried matches only see
-    landmarks that existed when it was tracked (standard local-mapping
-    semantics); landmarks appended later are picked up by later frames.
+    TPU structure (round-4 finding): the sequence arrays must be consumed
+    as scan-xs, never gathered by the traced step index — a
+    ``frames.uv[k]``-style gather into a jit PARAMETER array made every
+    scan step ~45 ms (8.6x whole-program slowdown) regardless of whether
+    the BA branch ran, while the identical program with xs-scanning runs
+    at the plain tracker's per-step cost.  Everything the local-BA branch
+    needs therefore lives in the scan carry:
+
+      * ring buffers (slot = frame % W) of each frame's 2D-3D map
+        correspondences — indices, validity AND pixels — as computed by
+        the tracker itself (no re-matching);
+      * plus the founding (next-view) observation of each landmark
+        appended that step, which no later map lookup could recover for
+        its first frame (dropping these cost ~0.5 ATE on the 200-frame
+        loop fixture).
+
+    A frame's carried matches only see landmarks that existed when it was
+    tracked (standard local-mapping semantics).
     """
     K = jnp.asarray(cfg.K())
-    F = frames.uv.shape[0]
-    N = frames.uv.shape[1]
+    Fm1 = frames_curr.uv.shape[0]        # steps = F - 1
+    N = frames_curr.uv.shape[1]
+    Kc = cfg.max_new_landmarks_per_frame
+    Nb = N + Kc                          # ring-buffer row width
     W = cfg.local_ba_window
     E = cfg.local_ba_every
     ba_cfg = _local_ba_cfg(cfg)
 
     def do_ba(carry):
-        state, poses_all, buf_lm, buf_valid, k = carry
+        state, poses_all, buf_lm, buf_valid, buf_uv, k = carry
         lo = k - W + 1
         # ring -> window order: frame f lives in slot f % W
         ring = jnp.mod(lo + jnp.arange(W, dtype=jnp.int32), W)
-        obs_lm = buf_lm[ring]
-        obs_valid = buf_valid[ring]
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, W, axis=0)
         win_poses = sl(poses_all)
         wic = jax.vmap(lie.inv_se3)(win_poses)
         fixed = jnp.arange(W) < 2  # gauge+scale anchor to the prefix
         prob = BAProblem(
-            poses=wic, points=state.map_xyz, obs_uv=sl(frames.uv),
-            obs_lm=obs_lm, obs_valid=obs_valid,
+            poses=wic, points=state.map_xyz, obs_uv=buf_uv[ring],
+            obs_lm=buf_lm[ring], obs_valid=buf_valid[ring],
             point_valid=state.map_valid, fixed=fixed,
         )
         prob2, _ = ba_solve(prob, K, cfg.width, cfg.height, ba_cfg)
@@ -97,31 +111,38 @@ def _slam_scan(state, poses_all, frames: vo.Frame, cfg: EngineConfig):
             map_xyz=jnp.where(ok, prob2.points, state.map_xyz),
             pose=poses_all[k],
         )
-        return state, poses_all, buf_lm, buf_valid, jnp.int32(1)
+        return state, poses_all, buf_lm, buf_valid, buf_uv, jnp.int32(1)
 
-    def step(carry, k):
-        state, poses_all, buf_lm, buf_valid, n_ba = carry
-        curr = jax.tree.map(lambda a: a[k - 1], frames)
-        nxt = jax.tree.map(lambda a: a[k], frames)
-        state, log, (m_idx, m_valid) = vo.track_step(
-            state, curr, nxt, cfg, return_matches=True)
+    def step(carry, xs):
+        state, poses_all, buf_lm, buf_valid, buf_uv, n_ba, k = carry
+        curr, nxt = xs
+        state, log, (m_idx, m_valid, new_slots, new_uv, new_valid) = (
+            vo.track_step(state, curr, nxt, cfg, return_matches=True))
         poses_all = poses_all.at[k].set(log.pose)
         slot = jnp.mod(k, W)
-        buf_lm = buf_lm.at[slot].set(m_idx)
-        buf_valid = buf_valid.at[slot].set(m_valid)
-        state, poses_all, buf_lm, buf_valid, ran = jax.lax.cond(
+        buf_lm = buf_lm.at[slot].set(
+            jnp.concatenate([m_idx, new_slots]))
+        buf_valid = buf_valid.at[slot].set(
+            jnp.concatenate([m_valid, new_valid]))
+        buf_uv = buf_uv.at[slot].set(
+            jnp.concatenate([nxt.uv, new_uv], axis=0))
+        state, poses_all, buf_lm, buf_valid, buf_uv, ran = jax.lax.cond(
             (k >= W) & (k % E == 0),
             do_ba,
-            lambda c: (c[0], c[1], c[2], c[3], jnp.int32(0)),
-            (state, poses_all, buf_lm, buf_valid, k),
+            lambda c: (c[0], c[1], c[2], c[3], c[4], jnp.int32(0)),
+            (state, poses_all, buf_lm, buf_valid, buf_uv, k),
         )
-        return (state, poses_all, buf_lm, buf_valid, n_ba + ran), log
+        return (state, poses_all, buf_lm, buf_valid, buf_uv,
+                n_ba + ran, k + 1), log
 
-    buf_lm = jnp.zeros((W, N), jnp.int32)
-    buf_valid = jnp.zeros((W, N), bool)
-    (state, poses_all, _, _, n_ba), logs = jax.lax.scan(
-        step, (state, poses_all, buf_lm, buf_valid, jnp.int32(0)),
-        jnp.arange(1, F, dtype=jnp.int32))
+    buf_lm = jnp.zeros((W, Nb), jnp.int32)
+    buf_valid = jnp.zeros((W, Nb), bool)
+    buf_uv = jnp.zeros((W, Nb, 2), jnp.float32)
+    (state, poses_all, _, _, _, n_ba, _), logs = jax.lax.scan(
+        step,
+        (state, poses_all, buf_lm, buf_valid, buf_uv, jnp.int32(0),
+         jnp.int32(1)),
+        (frames_curr, frames_next))
     return state, poses_all, logs, n_ba
 
 
@@ -145,8 +166,9 @@ def run_sequence_slam(seq, cfg: EngineConfig | None = None, seed: int = 42
 
     poses_all = jnp.broadcast_to(
         jnp.eye(4, dtype=jnp.float32), (F, 4, 4)).copy()
-    frames = vo.frames_of(seq, 0, F)
-    state, poses_all, logs, n_ba = _slam_scan(state, poses_all, frames, cfg)
+    state, poses_all, logs, n_ba = _slam_scan(
+        state, poses_all, vo.frames_of(seq, 0, F - 1),
+        vo.frames_of(seq, 1, F), cfg)
     diag = dict(diag)
     diag["n_local_ba_runs"] = n_ba
     return state, logs, poses_all, diag

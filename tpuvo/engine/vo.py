@@ -160,11 +160,16 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     threshold — lets a whole tracker run be vmapped over a threshold axis
     (the batched inlier-rejection sweep).
 
-    return_matches: additionally return the frame's 2D-3D map
-    correspondences ``(m_map.idx, m_map.valid)`` — the SLAM-mode scan
-    (engine/slam.py) carries these in a ring buffer so its local-BA branch
-    never re-matches window frames against the map (the re-match was 28 ms
-    of the 96 ms round-3 local-BA cost on TPU)."""
+    return_matches: additionally return the frame's map observations for
+    the SLAM-mode ring buffer (engine/slam.py):
+    ``(m_map.idx, m_map.valid, new_slots, new_uv, new_valid)`` — the 2D-3D
+    correspondences of this frame against the (pre-append) map, plus the
+    map slots and next-frame pixels of the landmarks appended THIS step
+    (their founding observation, which no later re-match against the map
+    could recover for this frame).  Carrying these lets the local-BA
+    branch run entirely from scan state, with no traced-index gathers
+    into the full sequence array (a parameter-array gather per step made
+    the whole scan 8.6x slower on TPU — see DESIGN.md round 4)."""
     K = jnp.asarray(cfg.K())
 
     # --- 2D-3D: match next frame's descriptors against the map -----------
@@ -332,7 +337,13 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         n_dropped_overflow=n_overflow,
     )
     if return_matches:
-        return state2, log, (m_map.idx, m_map.valid)
+        # map slots the kept candidates landed in (_append_to_map layout:
+        # sequential slots from the pre-append count, overflow dropped)
+        offs_keep = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        new_slots = state.map_count + offs_keep
+        new_valid = keep & (new_slots < state2.map_xyz.shape[0])
+        return state2, log, (m_map.idx, m_map.valid,
+                             new_slots, uv2_c, new_valid)
     return state2, log
 
 
