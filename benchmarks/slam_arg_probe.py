@@ -87,11 +87,19 @@ def main():
             jnp.eye(4, dtype=jnp.float32), (F, 4, 4)).copy()
         return scan(state, poses_all, fc, fn, cfg)[1]
 
+    @jax.jit
+    def nested_all(state, poses_all, fc, fn):
+        # outer jit but ALL outputs returned (nothing DCE-able)
+        return scan(state, poses_all, fc, fn, cfg)
+
     calls = {
         "allparam": lambda: allparam(state0, eye_stack, fc, fn),
         "posin": lambda: posin(state0, fc, fn),
         "framein": lambda: framein(state0, eye_stack),
         "allin": lambda: allin(state0),
+        # the inner jit called DIRECTLY at top level (= run_sequence_slam)
+        "direct": lambda: scan(state0, eye_stack, fc, fn, cfg)[1],
+        "nested_all": lambda: nested_all(state0, eye_stack, fc, fn)[1],
     }
     for name in args.variants.split(","):
         call = calls[name]

@@ -146,8 +146,8 @@ def run_triangulate_test(seq: FrameObservations, world, cfg: EngineConfig | None
     point, GT point) triples for comparison against world.dat."""
     cfg = cfg or EngineConfig()
     key = jax.random.PRNGKey(seed)
-    state, diag = jax.jit(lambda k, a, b: vo_mod.bootstrap(k, a, b, cfg))(
-        key, vo_mod.frame_of(seq, 0), vo_mod.frame_of(seq, 1)
+    state, diag = vo_mod.bootstrap_jit(
+        key, vo_mod.frame_of(seq, 0), vo_mod.frame_of(seq, 1), cfg
     )
     n = int(state.map_count)
     ids = np.asarray(state.map_id_real)[:n]

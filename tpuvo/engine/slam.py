@@ -58,24 +58,27 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
     ``frames_curr``/``frames_next``: the (F-1)-step frame pairs, scanned
     as scan-xs exactly like the plain tracker.
 
-    TPU structure (round-4 finding): the sequence arrays must be consumed
-    as scan-xs, never gathered by the traced step index — a
-    ``frames.uv[k]``-style gather into a jit PARAMETER array made every
-    scan step ~45 ms (8.6x whole-program slowdown) regardless of whether
-    the BA branch ran, while the identical program with xs-scanning runs
-    at the plain tracker's per-step cost.  Everything the local-BA branch
-    needs therefore lives in the scan carry:
+    TPU structure (round 4): everything the local-BA branch needs lives
+    in the scan carry —
 
       * ring buffers (slot = frame % W) of each frame's 2D-3D map
         correspondences — indices, validity AND pixels — as computed by
-        the tracker itself (no re-matching);
+        the tracker itself, replacing round 3's 16-frame re-match
+        against the full map inside the branch;
       * plus the founding (next-view) observation of each landmark
         appended that step, which no later map lookup could recover for
         its first frame (dropping these cost ~0.5 ATE on the 200-frame
-        loop fixture).
+        loop fixture — ring buffers with founding obs measure ATE 1.00
+        vs the old re-match's 1.05).
 
-    A frame's carried matches only see landmarks that existed when it was
-    tracked (standard local-mapping semantics).
+    Together with the one-hot BA assembly and packed log ys this runs
+    the 200-frame loop fixture in 0.71 s on-device (was 1.01 s).  A
+    frame's carried matches only see landmarks that existed when it was
+    tracked (standard local-mapping semantics).  NOTE the round-3
+    "21.7 fps SLAM" number was almost entirely a HARNESS artifact: each
+    ``run_sequence_slam`` call rebuilt ``jax.jit(lambda ...)`` for the
+    bootstrap, paying ~7.5 s of recompilation per timed call (see
+    ``vo.bootstrap_jit`` and DESIGN.md §10).
     """
     K = jnp.asarray(cfg.K())
     Fm1 = frames_curr.uv.shape[0]        # steps = F - 1
@@ -132,18 +135,21 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
             lambda c: (c[0], c[1], c[2], c[3], c[4], jnp.int32(0)),
             (state, poses_all, buf_lm, buf_valid, buf_uv, k),
         )
+        # PACKED ys (vo._pack_log): same hygiene as the plain tracker —
+        # 2 stacked outputs per step instead of 12 serial
+        # dynamic-update-slice chains.
         return (state, poses_all, buf_lm, buf_valid, buf_uv,
-                n_ba + ran, k + 1), log
+                n_ba + ran, k + 1), vo._pack_log(log)
 
     buf_lm = jnp.zeros((W, Nb), jnp.int32)
     buf_valid = jnp.zeros((W, Nb), bool)
     buf_uv = jnp.zeros((W, Nb, 2), jnp.float32)
-    (state, poses_all, _, _, _, n_ba, _), logs = jax.lax.scan(
+    (state, poses_all, _, _, _, n_ba, _), (poses_y, stats_y) = jax.lax.scan(
         step,
         (state, poses_all, buf_lm, buf_valid, buf_uv, jnp.int32(0),
          jnp.int32(1)),
         (frames_curr, frames_next))
-    return state, poses_all, logs, n_ba
+    return state, poses_all, vo._unpack_logs(poses_y, stats_y), n_ba
 
 
 def run_sequence_slam(seq, cfg: EngineConfig | None = None, seed: int = 42
@@ -161,8 +167,7 @@ def run_sequence_slam(seq, cfg: EngineConfig | None = None, seed: int = 42
 
     f0 = vo.frame_of(seq, 0)
     f1 = vo.frame_of(seq, 1)
-    boot = jax.jit(lambda k, a, b: vo.bootstrap(k, a, b, cfg))
-    state, diag = boot(key, f0, f1)
+    state, diag = vo.bootstrap_jit(key, f0, f1, cfg)
 
     poses_all = jnp.broadcast_to(
         jnp.eye(4, dtype=jnp.float32), (F, 4, 4)).copy()

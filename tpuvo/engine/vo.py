@@ -167,9 +167,9 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     map slots and next-frame pixels of the landmarks appended THIS step
     (their founding observation, which no later re-match against the map
     could recover for this frame).  Carrying these lets the local-BA
-    branch run entirely from scan state, with no traced-index gathers
-    into the full sequence array (a parameter-array gather per step made
-    the whole scan 8.6x slower on TPU — see DESIGN.md round 4)."""
+    branch run entirely from scan state — no re-matching, and slightly
+    BETTER accuracy than the re-match it replaced (loop-fixture ATE 1.00
+    vs 1.05; see DESIGN.md §10)."""
     K = jnp.asarray(cfg.K())
 
     # --- 2D-3D: match next frame's descriptors against the map -----------
@@ -394,9 +394,22 @@ def scan_tracker(state: VOState, frames_curr: Frame, frames_next: Frame,
     return state, _unpack_logs(poses, stats)
 
 
+# Module-level cached jits (round-4 fix): `jax.jit(lambda ...)` built
+# inside a function is a FRESH jit object per call — every
+# run_sequence()/run_sequence_slam() invocation recompiled the bootstrap
+# (~7.5 s on the tunneled TPU), which masqueraded as a 145x "SLAM
+# slowdown" in round 3's benchmarks.  One jit object per function, keyed
+# by the static cfg + input shapes, makes repeat calls dispatch-only.
+from functools import partial as _partial
+
+bootstrap_jit = _partial(jax.jit, static_argnames=("cfg",))(bootstrap)
+scan_tracker_jit = _partial(jax.jit, static_argnames=("cfg",))(scan_tracker)
+
+
 def make_tracker(cfg: EngineConfig):
-    """Compile the full-sequence tracker: scan track_step over frame pairs."""
-    return jax.jit(lambda s, fc, fn: scan_tracker(s, fc, fn, cfg))
+    """The compiled full-sequence tracker (module-level jit cache — calling
+    this repeatedly with the same cfg does NOT recompile)."""
+    return lambda s, fc, fn: scan_tracker_jit(s, fc, fn, cfg)
 
 
 def run_sequence(seq, cfg: EngineConfig | None = None, seed: int = 42):
@@ -411,8 +424,7 @@ def run_sequence(seq, cfg: EngineConfig | None = None, seed: int = 42):
 
     f0 = frame_of(seq, 0)
     f1 = frame_of(seq, 1)
-    boot = jax.jit(lambda k, a, b: bootstrap(k, a, b, cfg))
-    state, diag = boot(key, f0, f1)
+    state, diag = bootstrap_jit(key, f0, f1, cfg)
 
     tracker = make_tracker(cfg)
     frames_curr = frames_of(seq, 0, F - 1)
@@ -460,8 +472,7 @@ def run_sequence_chunked(
         poses_done = jnp.asarray(extra["poses"])
     else:
         key = jax.random.PRNGKey(seed)
-        boot = jax.jit(lambda k, a, b: bootstrap(k, a, b, cfg))
-        state, _ = boot(key, frame_of(seq, 0), frame_of(seq, 1))
+        state, _ = bootstrap_jit(key, frame_of(seq, 0), frame_of(seq, 1), cfg)
         poses_done = jnp.zeros((0, 4, 4), jnp.float32)
 
     chunks_run = 0
@@ -506,7 +517,7 @@ def run_threshold_sweep(seq, thresholds, cfg: EngineConfig | None = None, seed: 
 
     f0 = frame_of(seq, 0)
     f1 = frame_of(seq, 1)
-    state, diag = jax.jit(lambda k, a, b: bootstrap(k, a, b, cfg))(key, f0, f1)
+    state, diag = bootstrap_jit(key, f0, f1, cfg)
     states = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), state)
 
     frames_curr = frames_of(seq, 0, F - 1)
