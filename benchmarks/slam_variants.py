@@ -67,8 +67,22 @@ def main():
         "full": (base, True),
         "it1": (base.replace(local_ba_iterations=1), True),
         "it5": (base.replace(local_ba_iterations=5), True),
+        "it8": (base.replace(local_ba_iterations=8), True),
         "noba": (base.replace(local_ba_every=10**6), True),
         "W8": (base.replace(local_ba_window=8), True),
+        "E3": (base.replace(local_ba_every=3), True),
+        "E4": (base.replace(local_ba_every=4), True),
+        "cap512": (base.replace(local_ba_compact_cap=512), True),
+        "cap768": (base.replace(local_ba_compact_cap=768), True),
+        "E3cap512": (base.replace(local_ba_every=3,
+                                  local_ba_compact_cap=512), True),
+        "it1cap512": (base.replace(local_ba_iterations=1,
+                                   local_ba_compact_cap=512), True),
+        "it8cap512": (base.replace(local_ba_iterations=8,
+                                   local_ba_compact_cap=512), True),
+        "cap256": (base.replace(local_ba_compact_cap=256), True),
+        "W12cap512": (base.replace(local_ba_window=12,
+                                   local_ba_compact_cap=512), True),
         "gn": (base.replace(ba=base.ba.replace(lm_adaptive=False)), True),
         "nocompact": (base, False),
     }

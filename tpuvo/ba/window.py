@@ -314,6 +314,11 @@ def _compact_active(obs_lm, obs_valid, L: int, La: int):
         jnp.full((La,), L, jnp.int32).at[nid_sorted].set(
             sv.astype(jnp.int32), mode="drop")
     )
+    # the last slot is the inert sentinel: when La caps below the unique
+    # count (BAConfig.compact_cap), overflow landmarks collide into it —
+    # pin it to L so they are DROPPED (point_valid false) instead of
+    # aggregated into one corrupted pseudo-landmark
+    active_old = active_old.at[La - 1].set(L)
     return new_flat.reshape(obs_lm.shape), active_old
 
 
@@ -329,6 +334,12 @@ def ba_solve(problem: BAProblem, K, width, height, cfg: BAConfig,
     Wf, N = problem.obs_lm.shape
     L = problem.points.shape[0]
     La = min(L, Wf * N + 1)
+    if cfg.compact_cap:
+        # hard cap on the active-landmark prefix: every O(La) term
+        # (invert_hll, the WHinv/S einsums, scatter-back) shrinks to the
+        # cap; landmarks past it (highest-indexed = newest) are dropped
+        # from THIS solve via the inert sentinel slot, not corrupted
+        La = min(La, cfg.compact_cap)
     use_compact = compact and La < L
 
     if use_compact:

@@ -151,6 +151,12 @@ class BAConfig:
     # same sums, different accumulation order (fp-equivalent to ~1e-6).
     # "onehot" is the TPU-fast path for the in-scan local BA.
     assembly: str = "segsum"
+    # Cap on the active-landmark compaction prefix in ba_solve (None =
+    # W*N+1, the exact bound).  Every O(La) per-iteration term shrinks to
+    # the cap; landmarks beyond it (the newest) are dropped from that
+    # solve (inert sentinel slot), and the drop is visible in
+    # stats.num_obs.  Speed/completeness knob for the in-scan local BA.
+    compact_cap: int | None = None
 
     def replace(self, **kw) -> "BAConfig":
         return dataclasses.replace(self, **kw)
@@ -253,6 +259,9 @@ class EngineConfig:
     local_ba_window: int = 16
     local_ba_every: int = 2
     local_ba_iterations: int = 10
+    # active-landmark cap for the in-scan local BA solve (see
+    # BAConfig.compact_cap); None = exact W*N+1 bound
+    local_ba_compact_cap: int | None = None
 
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     picp: PICPConfig = field(default_factory=PICPConfig)

@@ -46,6 +46,7 @@ def _local_ba_cfg(cfg: EngineConfig) -> BAConfig:
         cull_bounds=False,  # refinement semantics (see BAConfig.cull_bounds)
         assembly="onehot",  # MXU landmark-block assembly (TPU scatter-adds
                             # serialize; see BAConfig.assembly)
+        compact_cap=cfg.local_ba_compact_cap,
     )
 
 
