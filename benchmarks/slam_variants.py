@@ -88,10 +88,21 @@ def main():
     }
     want = args.variants.split(",")
 
+    variants["basolve_id"] = (base.replace(local_ba_compact_cap=512), "id")
+    for d, it in ((0.1, 10), (0.1, 6), (0.01, 6), (0.01, 4)):
+        variants[f"d{d}it{it}cap512"] = (base.replace(
+            local_ba_compact_cap=512, local_ba_damping_init=d,
+            local_ba_iterations=it), True)
+
     orig_ba_solve = slam_mod.ba_solve
     for name in want:
         cfg, compact = variants[name]
-        if not compact:
+        if compact == "id":
+            # branch overhead WITHOUT the solve: cond + problem assembly +
+            # pose inversions + map/pose write-backs only
+            slam_mod.ba_solve = lambda p, K, w, h, c: (p, None)
+            slam_mod._slam_scan.clear_cache()
+        elif not compact:
             slam_mod.ba_solve = (
                 lambda p, K, w, h, c: orig_ba_solve(p, K, w, h, c,
                                                     compact=False))

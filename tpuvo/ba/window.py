@@ -322,6 +322,42 @@ def _compact_active(obs_lm, obs_valid, L: int, La: int):
     return new_flat.reshape(obs_lm.shape), active_old
 
 
+def _compact_active_mask(obs_lm, obs_valid, L: int, La: int):
+    """Sort-free twin of ``_compact_active`` (same renumbering: observed
+    landmarks packed ascending-id into [0, La-1), overflow + invalid to
+    the inert sentinel slot La-1).
+
+    TPU rationale: the argsort over the W·N observation ids dominates the
+    in-scan local-BA solve's FIXED cost (measured 1.69 ms fixed vs 0.17
+    ms per LM iteration at cap 512).  Presence is instead computed by a
+    one-hot matmul over the map axis (MXU), the new ids by a cumsum, and
+    the slot->old-id table by a second small one-hot matmul — no sort,
+    no scatter."""
+    flat = obs_lm.reshape(-1)
+    valid = obs_valid.reshape(-1)
+    slots = jnp.arange(L, dtype=jnp.int32)
+    # (L, M) one-hot: presence[l] = any valid obs of landmark l
+    oh = ((slots[:, None] == flat[None, :]) & valid[None, :]).astype(
+        jnp.float32)
+    presence = jnp.dot(oh, jnp.ones((flat.shape[0],), jnp.float32),
+                       preferred_element_type=jnp.float32) > 0.5  # (L,)
+    newid = jnp.cumsum(presence.astype(jnp.int32)) - 1          # (L,)
+    kept = presence & (newid < La - 1)
+    newid_c = jnp.where(kept, newid, La - 1)
+    new_flat = jnp.where(valid, newid_c[flat], La - 1).astype(jnp.int32)
+    # slot -> original id via one-hot matmul (ids < 2^24: exact in f32)
+    rows = jnp.arange(La, dtype=jnp.int32)
+    oh2 = ((rows[:, None] == newid_c[None, :]) & kept[None, :]).astype(
+        jnp.float32)                                             # (La, L)
+    active_old = jnp.dot(oh2, slots.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    hit = jnp.dot(oh2, jnp.ones((L,), jnp.float32),
+                  preferred_element_type=jnp.float32) > 0.5
+    active_old = jnp.where(hit, jnp.round(active_old), L).astype(jnp.int32)
+    active_old = active_old.at[La - 1].set(L)
+    return new_flat.reshape(obs_lm.shape), active_old
+
+
 def ba_solve(problem: BAProblem, K, width, height, cfg: BAConfig,
              compact: bool = True):
     """Run cfg.iterations BA steps (fori_loop — static, compile-once).
@@ -343,7 +379,9 @@ def ba_solve(problem: BAProblem, K, width, height, cfg: BAConfig,
     use_compact = compact and La < L
 
     if use_compact:
-        new_lm, active_old = _compact_active(
+        compact_fn = (_compact_active_mask if cfg.compact_method == "mask"
+                      else _compact_active)
+        new_lm, active_old = compact_fn(
             problem.obs_lm, problem.obs_valid, L, La)
         slot_used = active_old < L
         gather_idx = jnp.clip(active_old, 0, L - 1)
@@ -401,8 +439,21 @@ def ba_solve(problem: BAProblem, K, width, height, cfg: BAConfig,
 
     if use_compact:
         scatter_idx = jnp.where(slot_used, active_old, L)
-        new_points = problem.points.at[scatter_idx].set(
-            prob.points, mode="drop")
+        if cfg.compact_method == "mask":
+            # one-hot matmul scatter-back (slots are unique; a row-scatter
+            # of La rows serializes on TPU)
+            rows = jnp.arange(L, dtype=jnp.int32)
+            oh = (rows[:, None] == scatter_idx[None, :]).astype(
+                prob.points.dtype)                       # (L, La)
+            hit = jnp.dot(oh, jnp.ones((scatter_idx.shape[0],),
+                                       prob.points.dtype),
+                          preferred_element_type=jnp.float32) > 0.5
+            upd = jnp.dot(oh, prob.points,
+                          preferred_element_type=jnp.float32)
+            new_points = jnp.where(hit[:, None], upd, problem.points)
+        else:
+            new_points = problem.points.at[scatter_idx].set(
+                prob.points, mode="drop")
         prob = problem._replace(poses=prob.poses, points=new_points)
     return prob, stats
 

@@ -157,6 +157,12 @@ class BAConfig:
     # solve (inert sentinel slot), and the drop is visible in
     # stats.num_obs.  Speed/completeness knob for the in-scan local BA.
     compact_cap: int | None = None
+    # Active-landmark renumbering implementation: "sort" (argsort over
+    # the observation ids) or "mask" (one-hot-matmul presence + cumsum —
+    # sort-free; the TPU argsort dominated the local-BA solve's fixed
+    # cost).  Identical renumbering either way (ascending-id packing,
+    # inert sentinel slot).
+    compact_method: str = "sort"
 
     def replace(self, **kw) -> "BAConfig":
         return dataclasses.replace(self, **kw)
@@ -262,6 +268,11 @@ class EngineConfig:
     # active-landmark cap for the in-scan local BA solve (see
     # BAConfig.compact_cap); None = exact W*N+1 bound
     local_ba_compact_cap: int | None = None
+    # LM lambda warm-start for the local BA.  The global refiner needs
+    # damping_init=1.0 (far-from-optimum restarts); an interleaved window
+    # starts near the tracker's estimate, where a big initial lambda just
+    # burns iterations halving itself toward the useful range.
+    local_ba_damping_init: float = 1.0
 
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     picp: PICPConfig = field(default_factory=PICPConfig)

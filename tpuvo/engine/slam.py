@@ -47,6 +47,8 @@ def _local_ba_cfg(cfg: EngineConfig) -> BAConfig:
         assembly="onehot",  # MXU landmark-block assembly (TPU scatter-adds
                             # serialize; see BAConfig.assembly)
         compact_cap=cfg.local_ba_compact_cap,
+        compact_method="mask",  # sort-free renumbering (see BAConfig)
+        damping_init=cfg.local_ba_damping_init,
     )
 
 
@@ -91,7 +93,12 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
     ba_cfg = _local_ba_cfg(cfg)
 
     def do_ba(carry):
-        state, poses_all, buf_lm, buf_valid, buf_uv, k = carry
+        # SLIM operands: the cond materializes every operand buffer on
+        # entry/exit of the taken branch (measured 1.49 ms/invocation
+        # with the full VOState threaded through); only what the solve
+        # touches crosses the branch — map_desc/id arrays (~370 KB) stay
+        # outside in the scan carry.
+        map_xyz, map_valid, poses_all, buf_lm, buf_valid, buf_uv, k = carry
         lo = k - W + 1
         # ring -> window order: frame f lives in slot f % W
         ring = jnp.mod(lo + jnp.arange(W, dtype=jnp.int32), W)
@@ -100,9 +107,9 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
         wic = jax.vmap(lie.inv_se3)(win_poses)
         fixed = jnp.arange(W) < 2  # gauge+scale anchor to the prefix
         prob = BAProblem(
-            poses=wic, points=state.map_xyz, obs_uv=buf_uv[ring],
+            poses=wic, points=map_xyz, obs_uv=buf_uv[ring],
             obs_lm=buf_lm[ring], obs_valid=buf_valid[ring],
-            point_valid=state.map_valid, fixed=fixed,
+            point_valid=map_valid, fixed=fixed,
         )
         prob2, _ = ba_solve(prob, K, cfg.width, cfg.height, ba_cfg)
         ok = jnp.all(jnp.isfinite(prob2.poses)) & jnp.all(
@@ -111,11 +118,8 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
         upd = jnp.where((ok & ~fixed)[:, None, None], new_cw, win_poses)
         poses_all = jax.lax.dynamic_update_slice_in_dim(
             poses_all, upd, lo, axis=0)
-        state = state._replace(
-            map_xyz=jnp.where(ok, prob2.points, state.map_xyz),
-            pose=poses_all[k],
-        )
-        return state, poses_all, buf_lm, buf_valid, buf_uv, jnp.int32(1)
+        map_xyz = jnp.where(ok, prob2.points, map_xyz)
+        return map_xyz, poses_all, jnp.int32(1)
 
     def step(carry, xs):
         state, poses_all, buf_lm, buf_valid, buf_uv, n_ba, k = carry
@@ -130,12 +134,16 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
             jnp.concatenate([m_valid, new_valid]))
         buf_uv = buf_uv.at[slot].set(
             jnp.concatenate([nxt.uv, new_uv], axis=0))
-        state, poses_all, buf_lm, buf_valid, buf_uv, ran = jax.lax.cond(
+        map_xyz, poses_all, ran = jax.lax.cond(
             (k >= W) & (k % E == 0),
             do_ba,
-            lambda c: (c[0], c[1], c[2], c[3], c[4], jnp.int32(0)),
-            (state, poses_all, buf_lm, buf_valid, buf_uv, k),
+            lambda c: (c[0], c[2], jnp.int32(0)),
+            (state.map_xyz, state.map_valid, poses_all, buf_lm, buf_valid,
+             buf_uv, k),
         )
+        # poses_all[k] is log.pose when BA did not run and the BA-corrected
+        # newest pose when it did — either way the tracker resumes from it
+        state = state._replace(map_xyz=map_xyz, pose=poses_all[k])
         # PACKED ys (vo._pack_log): same hygiene as the plain tracker —
         # 2 stacked outputs per step instead of 12 serial
         # dynamic-update-slice chains.
