@@ -262,17 +262,25 @@ class EngineConfig:
     # scale handoff (which collapses on KITTI-scale motion) with a
     # multi-view one; the knobs below are the measured sweet spot
     # (W=16/E=2: path 51/59 vs 29/59 plain on the 1 m/frame loop fixture).
+    # Round-4 measured sweet spot on the 200-frame KITTI-scale loop
+    # circuit (TPU v5 lite, benchmarks/slam_variants.py): W16/E2/it6/
+    # cap512/lambda0 0.01 = 840 fps at ATE 0.46 — vs it10/no-cap/
+    # lambda0 1.0 at 270 fps / ATE 1.00.  (it10 + lambda0 0.1 reaches
+    # ATE 0.35 at 584 fps when accuracy matters more than rate.)
     local_ba_window: int = 16
     local_ba_every: int = 2
-    local_ba_iterations: int = 10
+    local_ba_iterations: int = 6
     # active-landmark cap for the in-scan local BA solve (see
-    # BAConfig.compact_cap); None = exact W*N+1 bound
-    local_ba_compact_cap: int | None = None
+    # BAConfig.compact_cap); None = exact W*N+1 bound.  Inert when the
+    # map capacity is already <= the cap (e.g. the bundled 512 map).
+    local_ba_compact_cap: int | None = 512
     # LM lambda warm-start for the local BA.  The global refiner needs
     # damping_init=1.0 (far-from-optimum restarts); an interleaved window
     # starts near the tracker's estimate, where a big initial lambda just
-    # burns iterations halving itself toward the useful range.
-    local_ba_damping_init: float = 1.0
+    # burns iterations halving itself toward the useful range (measured:
+    # 1.0 needs all 10 iterations for ATE 1.0; 0.01 reaches ATE 0.46 in
+    # 6).
+    local_ba_damping_init: float = 0.01
 
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     picp: PICPConfig = field(default_factory=PICPConfig)
