@@ -11,9 +11,10 @@ estimated path on a 199 m ground-truth loop (ATE 28.6).  Interleaving a
 sliding-window BA (the standard modern-VO "local mapping" backend —
 PTAM/ORB-SLAM architecture) re-estimates the last W poses and their
 landmarks jointly every E frames, replacing the per-frame handoff with a
-well-conditioned multi-view one: the same sequence tracks to ATE 1.4,
-and the full backend stack (loop closure ba/loop.py + graduated global
-BA engine/ba_refine.py) recovers ATE 0.20.
+well-conditioned multi-view one: the same sequence tracks to ATE 0.46
+at 840 fps on TPU (round-4 defaults), and the full backend stack (loop
+closure ba/loop.py + graduated global BA engine/ba_refine.py) recovers
+ATE 0.077.
 
 TPU-first: the whole run — every track step, every window re-match,
 every BA solve — is a single ``lax.scan`` program.  The BA fires inside
