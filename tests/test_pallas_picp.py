@@ -97,3 +97,31 @@ def test_kernel_vmap_batches():
         jnp.asarray(V), CFG.width, CFG.height, cfg, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got.T[0]), np.asarray(single.T), atol=1e-5)
+
+
+def test_kernel_iteration_parity_early_stopping():
+    """The round-3 kernel dropped the (cx, cy) terms of Jp·K — a wrong
+    descent direction that still passed the run-to-convergence tests
+    above (at a residual-zero fixed point the J error cancels in
+    J^T e = 0) while taking ~3x the iterations under the production
+    rel-chi 1e-4 early stop and drifting the full tracker to ATE 1.78.
+    This is the regression gate: with realistic noise and the production
+    stopping rule, the kernel must converge in the SAME number of GN
+    iterations as the XLA solver (+/-1 for reduction-order chi ties) and
+    land on the same pose."""
+    for seed in range(3):
+        X, Z, V, T_gt, T0 = make_problem(noise=0.5, pose_err=0.05, seed=seed)
+        cfg = PICPConfig(convergence_threshold=1e-4)
+        ref = picp.solve(
+            jnp.asarray(K), jnp.asarray(T0), jnp.asarray(X), jnp.asarray(Z),
+            None, jnp.asarray(V), CFG.width, CFG.height, cfg,
+        )
+        got = solve_pallas(
+            K, jnp.asarray(T0), jnp.asarray(X), jnp.asarray(Z),
+            None, jnp.asarray(V), CFG.width, CFG.height, cfg, interpret=True,
+        )
+        assert int(ref.iterations) < cfg.max_iterations  # early stop engaged
+        assert abs(int(got.iterations) - int(ref.iterations)) <= 1, (
+            seed, int(got.iterations), int(ref.iterations))
+        np.testing.assert_allclose(
+            np.asarray(got.T), np.asarray(ref.T), atol=1e-3)
