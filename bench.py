@@ -65,14 +65,30 @@ def main():
         ),
         triangulation_refine_iters=int(os.environ.get("TPUVO_BENCH_REFINE", "2")),
     )
-    # latency mode benefits from unrolling the frame scan (XLA schedules
-    # across step bodies: +12-41% single-sequence fps, run-to-run noisy);
-    # the batched path doesn't (36.2k vs 36.0k at unroll 2 — noise), so the
-    # throughput cfg keeps unroll=1 and its cheaper compile.
+    # Dedicated LATENCY profile (round 4; each ingredient measured on the
+    # real sequence via benchmarks/latency_breakdown.py):
+    #   * fused pair matcher — one MXU distance matmul for both matches
+    #   * Pallas PICP backend — the whole GN loop as ONE Mosaic kernel
+    #     (3,688 fps vs 2,733 XLA; requires the round-4 Jp·K principal-
+    #     point fix, which took in-kernel ATE from 1.78 back to 0.188)
+    #   * 24 new-landmark slots (dataset peak is 21/frame — lossless)
+    #   * scan_unroll=4 (XLA schedules across step bodies)
+    # Accuracy of this profile is gated independently below.
     import dataclasses
 
     cfg_lat = dataclasses.replace(
-        cfg, scan_unroll=int(os.environ.get("TPUVO_BENCH_SCAN_UNROLL", "4"))
+        cfg,
+        scan_unroll=int(os.environ.get("TPUVO_BENCH_SCAN_UNROLL", "4")),
+        fuse_frame_matchers=os.environ.get("TPUVO_BENCH_LAT_FUSED", "1") == "1",
+        max_new_landmarks_per_frame=int(
+            os.environ.get("TPUVO_BENCH_LAT_NEWLM", "24")),
+        picp=dataclasses.replace(
+            cfg.picp,
+            # Mosaic kernels need real TPU hardware; CPU smoke runs of
+            # this bench fall back to the XLA solver
+            backend=os.environ.get(
+                "TPUVO_BENCH_LAT_PICP",
+                "pallas" if jax.default_backend() != "cpu" else "xla")),
     )
     data_dir = os.environ.get("TPUVO_DATA", "/root/reference/data")
     if os.path.isdir(data_dir):

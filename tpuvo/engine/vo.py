@@ -237,6 +237,11 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         jnp.isfinite(new_pose)
     )
     new_pose = jnp.where(healthy, new_pose, state.pose)
+    # world-in-camera twins, reused below (latency: each inv_se3 the step
+    # can skip is one fewer fusion in the serial chain; without the motion
+    # model wic_prev IS the PICP init)
+    wic_prev = (lie.inv_se3(state.pose) if cfg.motion_model_init else T_init)
+    wic_new = jnp.where(healthy, sol.T, wic_prev)
 
     # --- 2D-2D: match curr -> next for triangulation (icp_test.cpp:122) ---
     if m_img is None:
@@ -278,8 +283,9 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     idm_c = jnp.round(comp[:, 5 + D]).astype(jnp.int32)
 
     pts, finite = triangulate.triangulate_two_view(
-        K, state.pose, new_pose, uv1_c, uv2_c,
+        K, None, None, uv1_c, uv2_c,
         refine_iterations=cfg.triangulation_refine_iters,
+        wic1=wic_prev, wic2=wic_new,
     )
     keep = c_valid
     if cfg.gating_enabled:
@@ -287,10 +293,10 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
 
         thr = cfg.landmark_max_reproj_px
         uv1_re, ok1 = project_points(
-            K, lie.inv_se3(state.pose), pts, cfg.width, cfg.height
+            K, wic_prev, pts, cfg.width, cfg.height
         )
         uv2_re, ok2 = project_points(
-            K, lie.inv_se3(new_pose), pts, cfg.width, cfg.height
+            K, wic_new, pts, cfg.width, cfg.height
         )
         e1 = jnp.sum((uv1_re - uv1_c) ** 2, -1)
         e2 = jnp.sum((uv2_re - uv2_c) ** 2, -1)

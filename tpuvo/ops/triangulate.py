@@ -134,15 +134,20 @@ def refine_points(P1, P2, uv1, uv2, pts, iterations: int = 2, damping: float = 1
 
 
 def triangulate_two_view(K, T1, T2, uv1, uv2, refine_iterations: int = 2,
-                         method: str = "inhomogeneous"):
+                         method: str = "inhomogeneous",
+                         wic1=None, wic2=None):
     """Triangulate correspondences seen from camera-in-world poses T1, T2.
 
     Mirrors Cam::triangulatePoints (cam.cpp:94-140): builds the two
     projection matrices and runs the DLT (plus the fp32 GN polish — see
     refine_points).  Returns (points (N,3) in world frame, finite_mask (N,)).
+
+    wic1/wic2: optional world-in-camera transforms; when given, the
+    internal pose inversions are skipped (latency path: the tracker
+    already holds both directions — see engine/vo.track_step).
     """
-    P1 = projection_matrix(K, T1)
-    P2 = projection_matrix(K, T2)
+    P1 = K @ wic1[:3, :4] if wic1 is not None else projection_matrix(K, T1)
+    P2 = K @ wic2[:3, :4] if wic2 is not None else projection_matrix(K, T2)
     pts, w = triangulate_dlt(P1, P2, uv1, uv2, method)
     if refine_iterations:
         pts = refine_points(P1, P2, uv1, uv2, pts, refine_iterations)
