@@ -50,15 +50,23 @@ def main():
     pb, ib, nb, cb = out["pallas"]
     dev = np.linalg.norm(pa[:, :3, 3] - pb[:, :3, 3], axis=1)
     first_bad = int(np.argmax(dev > 1e-3)) if (dev > 1e-3).any() else -1
-    print(json.dumps({
+    row = {
+        "bench": "pallas_picp_in_tracker_parity",
+        "device": str(jax.devices()[0]),
         "first_frame_dev_gt_1e3": first_bad,
         "dev_at_first": round(float(dev[max(first_bad, 0)]), 6),
         "dev_max": round(float(dev.max()), 4),
+        "mean_iters_xla": round(float(ia.mean()), 2),
+        "mean_iters_pallas": round(float(ib.mean()), 2),
         "iters_xla_head": ia[:12].tolist(),
         "iters_pal_head": ib[:12].tolist(),
         "inl_xla_head": na[:12].tolist(),
         "inl_pal_head": nb[:12].tolist(),
-    }))
+    }
+    print(json.dumps(row))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
     if first_bad >= 0:
         lo = max(0, first_bad - 2)
         for i in range(lo, min(first_bad + 3, len(dev))):

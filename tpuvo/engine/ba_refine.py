@@ -82,32 +82,9 @@ def _refine_run(poses_all, points, point_valid, map_desc, desc, valid,
     return poses_all, points, ys
 
 
-@partial(jax.jit, static_argnames=("cfg", "ba_cfg", "n_sweeps"))
-def _refine_global_run(poses_all, points, point_valid, map_desc, desc, valid,
-                       obs_uv, K, cfg, ba_cfg, n_sweeps):
-    """Full-trajectory joint BA as one compiled program.
-
-    Unlike the windowed sweep, the gauge is fixed ONLY at poses 0 and 1 —
-    the start of the trajectory, where drift is minimal (pose 0 is the
-    identity by construction and the 0-1 baseline carries the monocular
-    scale).  Every other pose and every observed landmark is free, so the
-    optimizer can pull the whole trajectory into global consistency
-    instead of being re-anchored to the drifted prefix window by window.
-
-    Matching is descriptor-only and the map descriptors are frozen, so the
-    correspondence topology is computed ONCE; sweeps restart the GN solve
-    (fresh inlier/outlier classification against the refined geometry).
-
-    Graduated robustness: sweep 0 runs COARSE — no image-bounds cull
-    (cheirality only) and a saturating-weight kernel at a huge threshold,
-    so loop-closure correspondences whose residuals are hundreds of pixels
-    at the drifted estimate still pull (a trimming kernel at the tracking
-    threshold zeroes exactly those constraints, which is why the first
-    version of this refiner could not move a drifted trajectory at all).
-    Later sweeps tighten to the caller's threshold for outlier rejection.
-    """
-    F = poses_all.shape[0]
-    fixed = jnp.arange(F) < 2
+@partial(jax.jit, static_argnames=("cfg",))
+def _global_topology(map_desc, point_valid, desc, valid, cfg):
+    """Frozen correspondence topology (computed once per refinement)."""
 
     def match_frame(inp):
         d, v = inp
@@ -118,40 +95,29 @@ def _refine_global_run(poses_all, points, point_valid, map_desc, desc, valid,
         )
         return r.idx, r.valid
 
-    obs_lm, obs_valid = jax.lax.map(match_frame, (desc, valid))
+    return jax.lax.map(match_frame, (desc, valid))
 
-    coarse_cfg = ba_cfg.replace(
-        keep_outliers=True, cull_bounds=False,
-        huber_threshold=max(ba_cfg.huber_threshold, 1.0e8),
+
+@partial(jax.jit, static_argnames=("cfg", "ba_cfg"))
+def _global_sweep(poses_all, points, point_valid, obs_uv, obs_lm, obs_valid,
+                  K, cfg, ba_cfg):
+    """One full-trajectory BA sweep (jit-cached per static ba_cfg: the
+    coarse and fine configs each compile once per shape)."""
+    F = poses_all.shape[0]
+    fixed = jnp.arange(F) < 2
+    wic = jax.vmap(lie.inv_se3)(poses_all)
+    prob = BAProblem(
+        poses=wic, points=points,
+        obs_uv=obs_uv, obs_lm=obs_lm, obs_valid=obs_valid,
+        point_valid=point_valid, fixed=fixed,
     )
-    fine_cfg = ba_cfg.replace(cull_bounds=False)
-
-    def sweep(carry, sweep_cfg):
-        poses_all, points = carry
-        wic = jax.vmap(lie.inv_se3)(poses_all)
-        prob = BAProblem(
-            poses=wic, points=points,
-            obs_uv=obs_uv, obs_lm=obs_lm, obs_valid=obs_valid,
-            point_valid=point_valid, fixed=fixed,
-        )
-        prob2, stats = ba_solve(prob, K, cfg.width, cfg.height, sweep_cfg)
-        ok = jnp.all(jnp.isfinite(prob2.poses))
-        new_cw = jax.vmap(lie.inv_se3)(prob2.poses)
-        poses_out = jnp.where((ok & ~fixed)[:, None, None], new_cw, poses_all)
-        pt_ok = ok & jnp.all(jnp.isfinite(prob2.points), axis=1)
-        points_out = jnp.where(pt_ok[:, None], prob2.points, points)
-        return (poses_out, points_out), (stats.chi, stats.num_inliers, ~ok)
-
-    # static unroll (n_sweeps is small) so each sweep can carry its own
-    # static BAConfig — sweep 0 coarse, the rest fine
-    carry = (poses_all, points)
-    ys = []
-    for i in range(n_sweeps):
-        carry, y = sweep(carry, coarse_cfg if i == 0 else fine_cfg)
-        ys.append(y)
-    poses_all, points = carry
-    ys = jax.tree.map(lambda *a: jnp.stack(a), *ys)
-    return poses_all, points, ys
+    prob2, stats = ba_solve(prob, K, cfg.width, cfg.height, ba_cfg)
+    ok = jnp.all(jnp.isfinite(prob2.poses))
+    new_cw = jax.vmap(lie.inv_se3)(prob2.poses)
+    poses_out = jnp.where((ok & ~fixed)[:, None, None], new_cw, poses_all)
+    pt_ok = ok & jnp.all(jnp.isfinite(prob2.points), axis=1)
+    points_out = jnp.where(pt_ok[:, None], prob2.points, points)
+    return poses_out, points_out, stats.chi, stats.num_inliers, ~ok
 
 
 def refine_trajectory_global(
@@ -161,29 +127,70 @@ def refine_trajectory_global(
     cfg: EngineConfig | None = None,
     ba_cfg: BAConfig | None = None,
     n_sweeps: int = 2,
+    max_sweeps: int = 10,
+    rel_improvement_stop: float = 0.01,
 ):
     """Joint BA over ALL poses + landmarks (the accuracy-first refiner).
 
     poses: (F, 4, 4) camera-in-world from the tracker.
     Returns (refined poses, refined map_xyz, stats list — one per sweep).
+
+    ADAPTIVE sweep count (round 4): ``n_sweeps`` is the minimum (1 coarse
+    + fine); fine sweeps continue while the robust chi still improves by
+    more than ``rel_improvement_stop`` per sweep, up to ``max_sweeps``.
+    A fixed schedule is basin-sensitive — a ~2 ATE shift in the tracked
+    start (fp-level chaos on KITTI-scale fixtures) moved the 2-sweep
+    result from 0.05 to 5.6, while sweeping-to-convergence lands at 0.36
+    regardless.  Host-side loop over jit-cached single-sweep programs
+    (the coarse and fine configs each compile once).
     """
     cfg = cfg or EngineConfig()
     ba_cfg = ba_cfg or BAConfig()
     K = jnp.asarray(cfg.K())
-    poses0 = jnp.asarray(poses, jnp.float32)
-    poses_ref, points_ref, (chis, inliers, skipped) = _refine_global_run(
-        poses0, jnp.asarray(state.map_xyz), jnp.asarray(state.map_valid),
-        jnp.asarray(state.map_desc), jnp.asarray(seq.desc),
-        jnp.asarray(seq.valid), jnp.asarray(seq.uv), K,
-        cfg, ba_cfg, n_sweeps,
+    poses_all = jnp.asarray(poses, jnp.float32)
+    points = jnp.asarray(state.map_xyz)
+    point_valid = jnp.asarray(state.map_valid)
+    obs_uv = jnp.asarray(seq.uv)
+    obs_lm, obs_valid = _global_topology(
+        jnp.asarray(state.map_desc), point_valid,
+        jnp.asarray(seq.desc), jnp.asarray(seq.valid), cfg)
+
+    # Graduated robustness: sweep 0 runs COARSE — no image-bounds cull
+    # (cheirality only) and a saturating-weight kernel at a huge
+    # threshold, so loop-closure correspondences whose residuals are
+    # hundreds of pixels at the drifted estimate still pull (a trimming
+    # kernel at the tracking threshold zeroes exactly those constraints).
+    # Later sweeps tighten to the caller's threshold.  Gauge fixed ONLY
+    # at poses 0/1 (identity + monocular scale anchor) so the optimizer
+    # can move the whole trajectory, not re-anchor to a drifted prefix.
+    coarse_cfg = ba_cfg.replace(
+        keep_outliers=True, cull_bounds=False,
+        huber_threshold=max(ba_cfg.huber_threshold, 1.0e8),
     )
-    poses_ref, points_ref, chis, inliers, skipped = jax.device_get(
-        (poses_ref, points_ref, chis, inliers, skipped))
-    stats_out = [
-        {"sweep": i, "chi": float(chis[i]), "inliers": int(inliers[i]),
-         "skipped": bool(skipped[i])}
-        for i in range(len(chis))
-    ]
+    fine_cfg = ba_cfg.replace(cull_bounds=False)
+
+    stats_out = []
+    prev_fine_chi = None
+    i = 0
+    while i < max_sweeps:
+        sweep_cfg = coarse_cfg if i == 0 else fine_cfg
+        poses_all, points, chi, inliers, skipped = _global_sweep(
+            poses_all, points, point_valid, obs_uv, obs_lm, obs_valid,
+            K, cfg, sweep_cfg)
+        chi = float(chi)
+        stats_out.append({"sweep": i, "chi": chi,
+                          "inliers": int(inliers),
+                          "skipped": bool(skipped)})
+        i += 1
+        if i >= n_sweeps and i > 1:
+            # stop when the FINE objective plateaus (coarse chi uses a
+            # different kernel and is not comparable)
+            if prev_fine_chi is not None and (
+                    chi >= prev_fine_chi * (1.0 - rel_improvement_stop)):
+                break
+        if sweep_cfg is fine_cfg:
+            prev_fine_chi = chi
+    poses_ref, points_ref = jax.device_get((poses_all, points))
     return poses_ref, points_ref, stats_out
 
 
