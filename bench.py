@@ -206,11 +206,16 @@ def main():
     fps_throughput = B * F / thr_s
 
     fps = max(fps_latency, fps_throughput)
+    # the headline must be gated by the accuracy of WHICHEVER mode
+    # supplies it: when the latency number wins the max, a broken latency
+    # profile must not post a headline either
+    headline_ok = accuracy_ok and (
+        fps_throughput >= fps_latency or latency_accuracy_ok)
     out = {
         "metric": "vo_frames_per_second",
         "value": round(fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / CPP_BASELINE_FPS, 3) if accuracy_ok else 0.0,
+        "vs_baseline": round(fps / CPP_BASELINE_FPS, 3) if headline_ok else 0.0,
         "extra": {
             "accuracy_gate_ok": accuracy_ok,
             "fps_latency_1seq": round(fps_latency, 1),

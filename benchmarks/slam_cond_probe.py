@@ -1,6 +1,8 @@
-"""Isolate the slam-scan structural overhead (round-4 finding: the BA
-branch content is irrelevant — a never-taken cond still costs ~45 ms per
-scan step, 140x the plain tracker step).
+"""Isolate slam-scan structural overhead (historical round-4 bisection
+probe).  NOTE: the "45 ms/step cond" hypothesis this probe was built to
+test was ultimately FALSIFIED — the real cliff was per-call bootstrap
+recompilation (DESIGN.md §10); these variants were the experiments that
+proved the scan/cond/ys structure itself is cheap.
 
 Variants (each its own compiled program):
   A — plain tracker replica: scan over stacked frames as scan-xs
@@ -111,7 +113,7 @@ def main():
             state, poses_all, buf_lm, buf_valid = carry
             curr = jax.tree.map(lambda a: a[k - 1], frames)
             nxt = jax.tree.map(lambda a: a[k], frames)
-            state, log, (mi, mv) = vo.track_step(
+            state, log, (mi, mv, _ns, _nu, _nv) = vo.track_step(
                 state, curr, nxt, cfg, return_matches=True)
             poses_all = poses_all.at[k].set(log.pose)
             slot = jnp.mod(k, W)
@@ -136,7 +138,7 @@ def main():
                 state, poses_all, buf_lm, buf_valid = carry
                 curr = jax.tree.map(lambda a: a[k - 1], frames)
                 nxt = jax.tree.map(lambda a: a[k], frames)
-                state, log, (mi, mv) = vo.track_step(
+                state, log, (mi, mv, _ns, _nu, _nv) = vo.track_step(
                     state, curr, nxt, cfg, return_matches=True)
                 poses_all = poses_all.at[k].set(log.pose)
                 slot = jnp.mod(k, W)
@@ -172,7 +174,7 @@ def main():
                 state, poses_all, buf_lm, buf_valid, n_ba = carry
                 curr = jax.tree.map(lambda a: a[k - 1], frames)
                 nxt = jax.tree.map(lambda a: a[k], frames)
-                state, log, (mi, mv) = vo.track_step(
+                state, log, (mi, mv, _ns, _nu, _nv) = vo.track_step(
                     state, curr, nxt, cfg, return_matches=True)
                 poses_all = poses_all.at[k].set(log.pose)
                 slot = jnp.mod(k, W)
@@ -198,7 +200,9 @@ def main():
     def variant_G(state):
         poses_all = jnp.broadcast_to(
             jnp.eye(4, dtype=jnp.float32), (F, 4, 4)).copy()
-        out = slam_mod._slam_scan(state, poses_all, frames, cfg)
+        out = slam_mod._slam_scan(
+            state, poses_all, vo.frames_of(seq, 0, F - 1),
+            vo.frames_of(seq, 1, F), cfg)
         return out[1]
 
     noop = lambda c: (c[0], c[1], c[2], c[3], jnp.int32(1))

@@ -95,19 +95,25 @@ def main():
             local_ba_iterations=it), True)
 
     orig_ba_solve = slam_mod.ba_solve
+    prev_patched = False
     for name in want:
         cfg, compact = variants[name]
+        patched = compact != True
+        if patched or prev_patched:
+            # the jit cache is keyed only by (static cfg, shapes): any
+            # transition into OR out of a monkeypatched ba_solve must drop
+            # cached compiles, or a later variant with the same cfg would
+            # silently reuse the patched program
+            slam_mod._slam_scan.clear_cache()
+        prev_patched = patched
         if compact == "id":
             # branch overhead WITHOUT the solve: cond + problem assembly +
             # pose inversions + map/pose write-backs only
             slam_mod.ba_solve = lambda p, K, w, h, c: (p, None)
-            slam_mod._slam_scan.clear_cache()
         elif not compact:
             slam_mod.ba_solve = (
                 lambda p, K, w, h, c: orig_ba_solve(p, K, w, h, c,
                                                     compact=False))
-            # same cfg as "full": drop the cached compile or jit reuses it
-            slam_mod._slam_scan.clear_cache()
         else:
             slam_mod.ba_solve = orig_ba_solve
         try:

@@ -183,3 +183,66 @@ def test_ba_compact_matches_full():
     touched[np.asarray(prob.obs_lm)[np.asarray(prob.obs_valid)]] = True
     assert np.array_equal(
         np.asarray(comp.points)[~touched], np.asarray(prob.points)[~touched])
+
+
+def test_assembly_onehot_matches_segsum():
+    """The SLAM-mode local BA hard-codes assembly='onehot' (MXU one-hot
+    matmuls instead of TPU-serializing segment_sum scatters); the two
+    assemblies must produce identical normal-equation blocks and solves.
+    Fast non-slow coverage for the production default path."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    from ba_scaling import build_problem
+
+    cfg, prob = build_problem(W=5, L=256, obs_per_frame=64, seed=11)
+    K = jnp.asarray(cfg.K())
+    a = BAConfig(iterations=4, assembly="segsum")
+    b = BAConfig(iterations=4, assembly="onehot")
+    from tpuvo.ba.window import linearize_ba
+
+    la = linearize_ba(prob, K, cfg.width, cfg.height, a)
+    lb = linearize_ba(prob, K, cfg.width, cfg.height, b)
+    for i in range(5):  # Hpp, bp, Hll, bl, Wfl
+        np.testing.assert_allclose(np.asarray(la[i]), np.asarray(lb[i]),
+                                   rtol=1e-5, atol=1e-4)
+    pa, _ = ba_solve(prob, K, cfg.width, cfg.height, a)
+    pb, _ = ba_solve(prob, K, cfg.width, cfg.height, b)
+    np.testing.assert_allclose(np.asarray(pa.poses), np.asarray(pb.poses),
+                               atol=1e-5)
+
+
+def test_compact_mask_matches_sort():
+    """Sort-free 'mask' renumbering (the SLAM-mode default) is an exact
+    twin of the argsort-based compaction, including the capped-overflow
+    sentinel case."""
+    from tpuvo.ba.window import _compact_active, _compact_active_mask
+
+    rng = np.random.default_rng(5)
+    for L, La, rows, cols in ((64, 33, 4, 12), (512, 65, 6, 50),
+                              (100, 10, 4, 20)):
+        lm = jnp.asarray(rng.integers(0, L, size=(rows, cols)).astype(np.int32))
+        valid = jnp.asarray(rng.random((rows, cols)) > 0.3)
+        a_lm, a_old = _compact_active(lm, valid, L, La)
+        b_lm, b_old = _compact_active_mask(lm, valid, L, La)
+        np.testing.assert_array_equal(np.asarray(a_lm), np.asarray(b_lm))
+        np.testing.assert_array_equal(np.asarray(a_old), np.asarray(b_old))
+
+
+def test_compact_cap_drops_not_corrupts():
+    """With compact_cap below the unique-landmark count, overflow
+    observations are DROPPED (visible in stats.num_obs) — never
+    aggregated into a corrupted pseudo-landmark — and the solve stays
+    finite."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    from ba_scaling import build_problem
+
+    cfg, prob = build_problem(W=5, L=512, obs_per_frame=128, seed=13)
+    K = jnp.asarray(cfg.K())
+    exact = BAConfig(iterations=3)
+    capped = BAConfig(iterations=3, compact_cap=64, compact_method="mask")
+    pa, sa = ba_solve(prob, K, cfg.width, cfg.height, exact)
+    pb, sb = ba_solve(prob, K, cfg.width, cfg.height, capped)
+    assert int(sb.num_obs) < int(sa.num_obs)  # the cap is not silent
+    assert np.isfinite(np.asarray(pb.poses)).all()
+    assert np.isfinite(np.asarray(pb.points)).all()

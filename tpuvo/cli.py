@@ -176,8 +176,9 @@ def cmd_slam(args):
     cfg, seq = _load(args)
     state, logs, poses, diag = run_sequence_slam(seq, cfg, seed=args.seed)
     poses = np.asarray(poses)
+    res = evaluate(poses, seq.gt_pose, cfg)
     out = {"n_local_ba_runs": int(diag["n_local_ba_runs"]),
-           "tracked": metrics_dict(evaluate(poses, seq.gt_pose, cfg))}
+           "tracked": metrics_dict(res)}
     if args.refine != "none":
         from tpuvo.config import BAConfig
         from tpuvo.engine.ba_refine import (refine_trajectory_global,
@@ -193,8 +194,8 @@ def cmd_slam(args):
         import jax.numpy as jnp
 
         state = state._replace(map_xyz=jnp.asarray(points2))
-        out["refined"] = metrics_dict(evaluate(poses, seq.gt_pose, cfg))
-    res = evaluate(poses, seq.gt_pose, cfg)
+        res = evaluate(poses, seq.gt_pose, cfg)  # refined trajectory
+        out["refined"] = metrics_dict(res)
     os.makedirs(args.out, exist_ok=True)
     write_outputs(args.out, res, state, cfg)
     plots.render_all(args.out, res, state, cfg)

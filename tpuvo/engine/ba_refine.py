@@ -129,20 +129,27 @@ def refine_trajectory_global(
     n_sweeps: int = 2,
     max_sweeps: int = 10,
     rel_improvement_stop: float = 0.01,
+    topology=None,
 ):
     """Joint BA over ALL poses + landmarks (the accuracy-first refiner).
 
     poses: (F, 4, 4) camera-in-world from the tracker.
     Returns (refined poses, refined map_xyz, stats list — one per sweep).
 
-    ADAPTIVE sweep count (round 4): ``n_sweeps`` is the minimum (1 coarse
-    + fine); fine sweeps continue while the robust chi still improves by
-    more than ``rel_improvement_stop`` per sweep, up to ``max_sweeps``.
+    ADAPTIVE sweep count (round 4): at least ``max(n_sweeps, 3)`` sweeps
+    run (1 coarse + two fine — the plateau test needs a fine-vs-fine
+    pair); fine sweeps then continue while the robust chi still improves
+    by more than ``rel_improvement_stop`` per sweep, up to ``max_sweeps``.
     A fixed schedule is basin-sensitive — a ~2 ATE shift in the tracked
     start (fp-level chaos on KITTI-scale fixtures) moved the 2-sweep
     result from 0.05 to 5.6, while sweeping-to-convergence lands at 0.36
     regardless.  Host-side loop over jit-cached single-sweep programs
     (the coarse and fine configs each compile once).
+
+    topology: optional precomputed ``(obs_lm, obs_valid)`` frozen
+    correspondences (e.g. from the loop refiner, which needs the same
+    matching for loop detection — avoids running the F x map matcher
+    twice).
     """
     cfg = cfg or EngineConfig()
     ba_cfg = ba_cfg or BAConfig()
@@ -151,9 +158,12 @@ def refine_trajectory_global(
     points = jnp.asarray(state.map_xyz)
     point_valid = jnp.asarray(state.map_valid)
     obs_uv = jnp.asarray(seq.uv)
-    obs_lm, obs_valid = _global_topology(
-        jnp.asarray(state.map_desc), point_valid,
-        jnp.asarray(seq.desc), jnp.asarray(seq.valid), cfg)
+    if topology is not None:
+        obs_lm, obs_valid = topology
+    else:
+        obs_lm, obs_valid = _global_topology(
+            jnp.asarray(state.map_desc), point_valid,
+            jnp.asarray(seq.desc), jnp.asarray(seq.valid), cfg)
 
     # Graduated robustness: sweep 0 runs COARSE — no image-bounds cull
     # (cheirality only) and a saturating-weight kernel at a huge
@@ -220,22 +230,18 @@ def refine_trajectory_loop(
     K = jnp.asarray(cfg.K())
     poses0 = jnp.asarray(poses, jnp.float32)
 
-    def match_frame(inp):
-        d, v = inp
-        r = match_descriptors(
-            d, v, state.map_desc, state.map_valid,
-            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
-            cfg.matcher.method,
-        )
-        return r.idx, r.valid
-
-    obs_lm, obs_valid = jax.lax.map(
-        match_frame, (jnp.asarray(seq.desc), jnp.asarray(seq.valid)))
+    # frozen topology via the same jit-cached helper the global refiner
+    # uses (it recomputes the identical matching right after — reuse the
+    # compiled program instead of paying the F x map matcher twice)
+    obs_lm, obs_valid = _global_topology(
+        jnp.asarray(state.map_desc), jnp.asarray(state.map_valid),
+        jnp.asarray(seq.desc), jnp.asarray(seq.valid), cfg)
     poses_pgo, n_loops, chi = close_loops(
         K, poses0, jnp.asarray(state.map_xyz), jnp.asarray(state.map_valid),
         jnp.asarray(seq.uv), obs_lm, obs_valid, cfg.width, cfg.height)
     poses_ref, points_ref, stats = refine_trajectory_global(
-        state, seq, poses_pgo, cfg, ba_cfg, n_sweeps=n_sweeps)
+        state, seq, poses_pgo, cfg, ba_cfg, n_sweeps=n_sweeps,
+        topology=(obs_lm, obs_valid))
     stats = [{"stage": "pgo", "n_loop_edges": int(n_loops),
               "chi": float(chi)}] + stats
     return poses_ref, points_ref, stats

@@ -43,6 +43,7 @@ def _local_ba_cfg(cfg: EngineConfig) -> BAConfig:
         window=cfg.local_ba_window,
         iterations=cfg.local_ba_iterations,
         huber_threshold=cfg.ba.huber_threshold,
+        lm_adaptive=cfg.ba.lm_adaptive,
         max_landmarks=cfg.map_capacity,
         cull_bounds=False,  # refinement semantics (see BAConfig.cull_bounds)
         assembly="onehot",  # MXU landmark-block assembly (TPU scatter-adds

@@ -201,15 +201,17 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     else:
         T_prev = state.pose
     T_init = lie.inv_se3(T_prev)  # world-in-camera initial guess
-    if cfg.picp.backend == "pallas" and cfg.picp.annealed_kernel:
-        # solve_pallas has no annealing schedule; silently changing solver
-        # semantics for this combination bit round 3's advisor — fail loud
-        raise ValueError(
-            "picp.backend='pallas' does not support annealed_kernel=True; "
-            "use backend='xla' for the annealed schedule")
     if cfg.picp.backend == "pallas" and kernel_threshold is None:
         # (a traced kernel_threshold — the vmapped sweep — routes to the
-        # XLA solver below: the Mosaic kernel bakes its threshold)
+        # XLA solver below, which DOES support annealing; only the actual
+        # pallas path must reject the combination)
+        if cfg.picp.annealed_kernel:
+            # solve_pallas has no annealing schedule; silently changing
+            # solver semantics bit round 3's advisor — fail loud
+            raise ValueError(
+                "picp.backend='pallas' does not support "
+                "annealed_kernel=True; use backend='xla' for the "
+                "annealed schedule")
         from tpuvo.ops.pallas.picp_kernel import solve_pallas
 
         # whole GN loop as one Mosaic kernel (see PICPConfig.backend);
