@@ -76,9 +76,17 @@ def main():
     # Accuracy of this profile is gated independently below.
     import dataclasses
 
+    # Round-5 additions (benchmarks/latency_fused_probe.py, drained-queue
+    # medians): scan_unroll 8 + poses-only scan outputs (log_stats=False,
+    # XLA DCEs the diagnostics) + ONE fused bootstrap+scan dispatch =
+    # median 4197 fps / min 3721 over 15 reps (vs C++ 3584.35).  The warm
+    # relay dispatch floor is ~26 ms of the ~29 ms wall — real on-device
+    # compute is ~3 ms (~40k fps) — so the recorded number is dominated by
+    # the tunnel tax the local C++ loop does not pay, and still wins.
     cfg_lat = dataclasses.replace(
         cfg,
-        scan_unroll=int(os.environ.get("TPUVO_BENCH_SCAN_UNROLL", "4")),
+        scan_unroll=int(os.environ.get("TPUVO_BENCH_SCAN_UNROLL", "8")),
+        log_stats=os.environ.get("TPUVO_BENCH_LAT_STATS", "0") == "1",
         fuse_frame_matchers=os.environ.get("TPUVO_BENCH_LAT_FUSED", "1") == "1",
         max_new_landmarks_per_frame=int(
             os.environ.get("TPUVO_BENCH_LAT_NEWLM", "24")),
@@ -135,23 +143,28 @@ def main():
     if os.path.exists(ref_traj):
         ref = np.loadtxt(ref_traj)
         est_t = res.poses_world[:, :3, 3] * res.scale
-        dev = np.linalg.norm(est_t[:, :2] - ref[:, 1:3], axis=1)
-        golden = {
-            "golden_dev_mean": round(float(dev.mean()), 4),
-            "golden_dev_max": round(float(dev.max()), 4),
-        }
-        golden_ok = dev.mean() <= 0.12 and dev.max() <= 0.30
+        if len(ref) == len(est_t):
+            dev = np.linalg.norm(est_t[:, :2] - ref[:, 1:3], axis=1)
+            golden = {
+                "golden_dev_mean": round(float(dev.mean()), 4),
+                "golden_dev_max": round(float(dev.max()), 4),
+            }
+            golden_ok = dev.mean() <= 0.12 and dev.max() <= 0.30
+        else:
+            # frame-count override (--frames/env): the row-wise diff is
+            # undefined — skip the gate explicitly rather than crash
+            golden = {"golden_gate_skipped": f"len {len(est_t)} vs ref {len(ref)}"}
     accuracy_ok = bool(accuracy_ok and golden_ok)
 
     # ---- latency mode ----------------------------------------------------
     # cfg_lat may enable different solver/matcher paths than the
     # throughput config, so its trajectory is gated independently — a fast
     # latency mode that breaks parity zeroes latency_vs_baseline.
-    tracker_lat = vo.make_tracker(cfg_lat)
-
+    # ONE dispatch per rep (vo.full_run_jit): bootstrap + the whole scan
+    # as a single compiled program — the inter-program dispatch gap of the
+    # two-dispatch path was pure serial latency on the tunneled relay.
     def run_once():
-        s, _ = boot(key, f0, f1)
-        s, lg = tracker_lat(s, frames_curr, frames_next)
+        s, lg = vo.full_run_jit(key, f0, f1, frames_curr, frames_next, cfg_lat)
         jax.block_until_ready(lg.pose)
         return lg
 
@@ -161,12 +174,21 @@ def main():
     acc_lat = metrics_dict(evaluate(np.asarray(poses_lat), seq.gt_pose, cfg_lat))
     latency_accuracy_ok = (
         acc_lat["ate_rmse"] <= 0.25 and acc_lat["trans_err_mean"] <= 0.30)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # Per-rep spread, median as the recorded number (round 4's reps=5 mean
+    # was a coin flip around 1x under the relay's ~+/-20% run-to-run noise;
+    # a claim of beating the C++ core must be the median of a real sample,
+    # with min/max recorded so the claim is falsifiable).
+    lat_reps = int(os.environ.get("TPUVO_BENCH_LAT_REPS", "21"))
+    run_once()
+    run_once()  # 2 untimed reps re-warm the relay after the eval transfer
+    lat_times = []
+    for _ in range(lat_reps):
+        t0 = time.perf_counter()
         run_once()
-    lat_s = (time.perf_counter() - t0) / reps
-    fps_latency = F / lat_s
+        lat_times.append(time.perf_counter() - t0)
+    lat_fps_all = sorted(F / t for t in lat_times)
+    fps_latency = lat_fps_all[len(lat_fps_all) // 2]  # median
+    reps = 5
 
     # ---- throughput mode: vmapped batch of DISTINCT sequences ------------
     # Each lane gets its own pixel noise (sigma 0.25 px, detector-level) and
@@ -205,6 +227,68 @@ def main():
     thr_s = (time.perf_counter() - t0) / reps
     fps_throughput = B * F / thr_s
 
+    # ---- SLAM mode (flagship beyond-reference capability), gated --------
+    # 200-frame KITTI-scale loop circuit (the kitti_ba --loop fixture):
+    # tracking with interleaved local BA (engine/slam.py), then the
+    # loop-closure + global-BA refinement stack.  Gated like the latency
+    # mode: if ATE leaves the stated envelope the SLAM numbers are zeroed,
+    # so the capability can never silently regress between rounds.
+    # Envelope: 2x the round-4 measured operating point (slam 0.46 /
+    # refined 0.08 on this fixture).
+    slam = {}
+    run_slam = os.environ.get(
+        "TPUVO_BENCH_SLAM", "1" if jax.default_backend() != "cpu" else "0")
+    if run_slam == "1":
+        from tpuvo.config import BAConfig
+        from tpuvo.engine.slam import run_sequence_slam
+        from tpuvo.engine.ba_refine import refine_trajectory_loop
+
+        sf = int(os.environ.get("TPUVO_BENCH_SLAM_FRAMES", "200"))
+        scap = int(os.environ.get("TPUVO_BENCH_SLAM_CAP", "8192"))
+        sgt = synthetic.make_loop_trajectory(sf, step=1.0, seed=7)
+        sext = float(np.abs(sgt[:, :2]).max()) + 15.0
+        sworld = synthetic.make_world(7, n_landmarks=20000,
+                                      xy_extent=sext, z_range=(0.0, 8.0))
+        cfg_slam = EngineConfig(
+            mode="fixed", n_frames=sf, map_capacity=scap,
+            fuse_frame_matchers=True,
+            picp=PICPConfig(convergence_threshold=1e-4),
+            ba=dataclasses.replace(EngineConfig().ba, max_landmarks=scap),
+        )
+        sseq = jax.tree.map(jnp.asarray, synthetic.render_sequence(
+            sworld, sgt, cfg_slam, pixel_noise=0.3, seed=7))
+        state_s, logs_s, poses_slam, diag_s = run_sequence_slam(
+            sseq, cfg_slam, seed=7)  # warm
+        jax.block_until_ready(poses_slam)
+        np.asarray(poses_slam)  # drain the relay queue before timing
+        slam_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, pslam_t, _ = run_sequence_slam(sseq, cfg_slam, seed=7)
+            jax.block_until_ready(pslam_t)
+            slam_times.append(time.perf_counter() - t0)
+        slam_fps = (sf - 1) / sorted(slam_times)[len(slam_times) // 2]
+        m_slam = metrics_dict(
+            evaluate(np.asarray(poses_slam), sseq.gt_pose, cfg_slam))
+        gcfg = BAConfig(window=sf, iterations=15, huber_threshold=500.0,
+                        max_landmarks=scap)
+        t0 = time.perf_counter()
+        poses_ref, _, _ = refine_trajectory_loop(
+            state_s, sseq, poses_slam, cfg_slam, gcfg, n_sweeps=3)
+        refine_s = time.perf_counter() - t0
+        m_ref = metrics_dict(
+            evaluate(np.asarray(poses_ref), sseq.gt_pose, cfg_slam))
+        slam_gate_ok = (m_slam["ate_rmse"] <= 1.0 and
+                        m_ref["ate_rmse"] <= 0.2)
+        slam = {
+            "slam_fps": round(slam_fps, 1) if slam_gate_ok else 0.0,
+            "ate_slam": round(m_slam["ate_rmse"], 4),
+            "ate_refined": round(m_ref["ate_rmse"], 4),
+            "slam_gate_ok": bool(slam_gate_ok),
+            "slam_frames": sf,
+            "slam_refine_s": round(refine_s, 2),
+        }
+
     fps = max(fps_latency, fps_throughput)
     # the headline must be gated by the accuracy of WHICHEVER mode
     # supplies it: when the latency number wins the max, a broken latency
@@ -220,10 +304,15 @@ def main():
             "accuracy_gate_ok": accuracy_ok,
             "fps_latency_1seq": round(fps_latency, 1),
             # the single-stream race vs the C++ core, gated on its own
-            # config's accuracy so it can never silently regress again
+            # config's accuracy so it can never silently regress again.
+            # fps_latency_1seq is the MEDIAN of lat_reps individually
+            # timed runs; min/max recorded so the claim is falsifiable.
             "latency_vs_baseline": (
                 round(fps_latency / CPP_BASELINE_FPS, 3)
                 if latency_accuracy_ok else 0.0),
+            "latency_fps_min": round(lat_fps_all[0], 1),
+            "latency_fps_max": round(lat_fps_all[-1], 1),
+            "latency_reps": lat_reps,
             "latency_accuracy_ok": latency_accuracy_ok,
             "latency_ate_rmse": round(acc_lat["ate_rmse"], 4),
             "fps_throughput_batch": round(fps_throughput, 1),
@@ -233,6 +322,7 @@ def main():
             "trans_err_mean": round(acc["trans_err_mean"], 4),
             "ate_robot": round(acc["ate_robot"], 4),
             **golden,
+            **slam,
             "map_count": int(state.map_count),
             "cpp_baseline_fps": CPP_BASELINE_FPS,
         },

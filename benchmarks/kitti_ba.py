@@ -58,6 +58,9 @@ def main():
                          "closure): late frames re-observe the start map, "
                          "making drift observable to global BA")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--evict-age", type=int, default=0,
+                    help="landmark lifecycle: evict slots unmatched for "
+                         "this many frames (0 = append-only map)")
     args = ap.parse_args()
 
     cfg = EngineConfig(
@@ -65,6 +68,7 @@ def main():
         n_frames=args.frames,
         map_capacity=args.map_capacity,
         fuse_frame_matchers=True,
+        map_evict_age=args.evict_age,
         picp=PICPConfig(convergence_threshold=1e-4),
         ba=BAConfig(window=args.window, iterations=args.ba_iterations,
                     max_landmarks=args.map_capacity),
@@ -154,6 +158,21 @@ def main():
         "frames": F,
         "landmarks": args.landmarks,
         "map_count": int(state.map_count),
+        # capacity-pressure attribution (VERDICT r4): cumulative candidate
+        # drops (past the per-frame compaction cap) and capacity-overflow
+        # drops, plus lifecycle stats — so an ATE regression can be
+        # attributed between capacity starvation and genuine drift
+        "map_capacity": args.map_capacity,
+        "evict_age": args.evict_age,
+        "cum_dropped_candidates": int(np.sum(np.asarray(
+            logs.n_dropped_candidates))),
+        "cum_dropped_overflow": int(np.sum(np.asarray(
+            logs.n_dropped_overflow))),
+        "cum_new_points": int(np.sum(np.asarray(logs.n_new_points))),
+        "slam_cum_dropped_overflow": int(np.sum(np.asarray(
+            logs_s.n_dropped_overflow))),
+        "slam_cum_new_points": int(np.sum(np.asarray(logs_s.n_new_points))),
+        "slam_map_count": int(state_s.map_count),
         "track_fps": round(fps, 1),
         "slam_fps": round(slam_fps, 1),
         "ba_windows": n_windows,

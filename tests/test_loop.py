@@ -32,6 +32,30 @@ def test_covisibility_counts_exact():
     np.testing.assert_allclose(C, expect)
 
 
+def test_covisibility_tiled_parity():
+    """Tiled (blocked-matmul) co-visibility == dense, including ids that
+    straddle tile boundaries and invalid/duplicate observations."""
+    rng = np.random.default_rng(0)
+    F, N, L = 37, 24, 1000
+    obs_lm = jnp.asarray(rng.integers(0, L, (F, N)).astype(np.int32))
+    obs_valid = jnp.asarray(rng.random((F, N)) < 0.8)
+    dense = np.asarray(covisibility_counts(obs_lm, obs_valid, L))
+    for tile in (64, 128, 333):
+        tiled = np.asarray(covisibility_counts(obs_lm, obs_valid, L, tile))
+        np.testing.assert_allclose(tiled, dense, atol=1e-5, err_msg=str(tile))
+
+
+def test_covisibility_auto_tiles_large_maps():
+    """Above 16k landmarks the tiled path engages automatically (the
+    dense (F, L) membership would be the first thing to OOM at the 100k
+    config-5 scale) and still matches a hand-computed overlap."""
+    L = 100_000
+    obs_lm = jnp.asarray([[5, 99_000, 0], [99_000, 5, 1]], jnp.int32)
+    obs_valid = jnp.ones((2, 3), bool)
+    C = np.asarray(covisibility_counts(obs_lm, obs_valid, L))
+    np.testing.assert_allclose(C, [[3, 2], [2, 3]])
+
+
 def test_detect_loops_gap_and_threshold():
     F = 10
     C = np.zeros((F, F), np.float32)

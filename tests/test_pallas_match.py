@@ -61,6 +61,40 @@ def test_kernel_real_data(sequence):
     assert np.array_equal(np.asarray(ref.idx)[m], np.asarray(got.idx)[m])
 
 
+def test_in_tracker_parity(sequence):
+    """Production-path parity: MatcherConfig(method='pallas') through the
+    real scanned tracker vs the mxu matcher (mirrors test_pallas_picp's
+    in-tracker pattern — kernel-level parity alone masked a wrong-Jacobian
+    bug for two rounds).  CPU runs the kernel in interpret mode via the
+    match_descriptors routing."""
+    import jax.numpy as jnp
+
+    from tpuvo.config import EngineConfig, MatcherConfig
+    from tpuvo.data import load_sequence
+    from tpuvo.engine import vo
+
+    F = 40
+    seq = sequence
+    poses = {}
+    logs = {}
+    for method in ("mxu", "pallas"):
+        cfg = EngineConfig(mode="fixed", n_frames=F,
+                           matcher=MatcherConfig(method=method))
+        sub = type(seq)(**{
+            k: (v[:F] if getattr(v, "ndim", 0) >= 1 and len(v) >= F else v)
+            for k, v in seq._asdict().items()})
+        _, lg, p, _ = vo.run_sequence(sub, cfg)
+        poses[method] = np.asarray(p)
+        logs[method] = lg
+    # identical match decisions frame-by-frame...
+    assert np.array_equal(np.asarray(logs["mxu"].n_map_matches),
+                          np.asarray(logs["pallas"].n_map_matches))
+    assert np.array_equal(np.asarray(logs["mxu"].n_map_correct),
+                          np.asarray(logs["pallas"].n_map_correct))
+    # ...and trajectories equal to fp tolerance (same solves, same order)
+    np.testing.assert_allclose(poses["pallas"], poses["mxu"], atol=1e-4)
+
+
 def test_kernel_unaligned_sizes():
     rng = np.random.default_rng(2)
     d1 = rng.uniform(-1, 1, (50, 10)).astype(np.float32)   # N not 128-aligned

@@ -39,17 +39,43 @@ from tpuvo.ops import lie
 from tpuvo.ops.pnp import pnp_ransac
 
 
-def covisibility_counts(obs_lm, obs_valid, L: int):
+def covisibility_counts(obs_lm, obs_valid, L: int, tile: int | None = None):
     """(F, F) matrix of co-observed-landmark counts.
 
-    obs_lm: (F, N) int32 map ids; obs_valid: (F, N) bool.  One scatter
-    into a (F, L) membership matrix, then a single MXU matmul.
+    obs_lm: (F, N) int32 map ids; obs_valid: (F, N) bool.
+
+    Dense path (small maps): one scatter into an (F, L) membership matrix
+    and a single MXU matmul M·M^T.  Tiled path (``tile`` set, or auto
+    above 16k landmarks): C = Σ_t M_t·M_tᵀ over landmark-id blocks — each
+    block's (F, tile) membership is built, multiplied, and discarded, so
+    the full (F, L) matrix never materializes and loop closure survives
+    the 100k-landmark config-5 scale (at F=500, L=100k the dense matrix
+    is 200 MB; tiled peak is F·tile).  Exact: landmark blocks partition
+    the id space, and co-visibility counts are a sum over landmarks.
     """
     F, N = obs_lm.shape
-    M = jnp.zeros((F, L), jnp.float32)
-    M = M.at[jnp.arange(F, dtype=jnp.int32)[:, None], obs_lm].max(
-        obs_valid.astype(jnp.float32), mode="drop")
-    return M @ M.T
+    if tile is None and L > 16384:
+        tile = 8192
+    if tile is None or tile >= L:
+        M = jnp.zeros((F, L), jnp.float32)
+        M = M.at[jnp.arange(F, dtype=jnp.int32)[:, None], obs_lm].max(
+            obs_valid.astype(jnp.float32), mode="drop")
+        return M @ M.T
+    n_tiles = -(-L // tile)
+    rows = jnp.arange(F, dtype=jnp.int32)[:, None]
+    val = obs_valid.astype(jnp.float32)
+
+    def body(acc, lo):
+        # ids outside [lo, lo+tile) -> sentinel column `tile` (OOB, dropped)
+        col = jnp.where(
+            (obs_lm >= lo) & (obs_lm < lo + tile), obs_lm - lo, tile)
+        Mt = jnp.zeros((F, tile), jnp.float32).at[rows, col].max(
+            val, mode="drop")
+        return acc + Mt @ Mt.T, None
+
+    los = (jnp.arange(n_tiles, dtype=jnp.int32) * tile)
+    C, _ = jax.lax.scan(body, jnp.zeros((F, F), jnp.float32), los)
+    return C
 
 
 def detect_loops(C, min_gap: int, min_shared: int, max_edges: int):

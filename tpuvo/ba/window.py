@@ -162,7 +162,6 @@ def linearize_ba(problem: BAProblem, K, width, height, cfg: BAConfig):
             Wb.reshape(-1, 6, 3), lm_flat * W + fidx, num_segments=L * W
         ).reshape(L, W, 6, 3)
 
-    contrib = (w > 0)
     stats = BAStats(
         chi=jnp.sum(chi * (w > 0) * jnp.minimum(w, 1.0)),
         num_inliers=jnp.sum(ok & inlier),

@@ -28,7 +28,7 @@ import numpy as np
 
 
 def _load(args):
-    from tpuvo.config import EngineConfig
+    from tpuvo.config import EngineConfig, MatcherConfig
     from tpuvo.data import load_camera_config, load_sequence
 
     camera_dat = os.path.join(args.data, "camera.dat")
@@ -36,6 +36,10 @@ def _load(args):
         cfg = load_camera_config(camera_dat, mode=args.mode)
     else:
         cfg = EngineConfig(mode=args.mode)
+    if getattr(args, "evict_age", 0):
+        cfg = cfg.replace(map_evict_age=args.evict_age)
+    if getattr(args, "matcher", None):
+        cfg = cfg.replace(matcher=MatcherConfig(method=args.matcher))
     seq = load_sequence(args.data, args.frames)
     return cfg, seq
 
@@ -307,6 +311,13 @@ def main(argv=None):
     # loses track under TPU fp ordering (DESIGN.md §4).
     p.add_argument("--mode", default="fixed", choices=["parity", "fixed"])
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--evict-age", type=int, default=0,
+                   help="landmark lifecycle: evict map slots unmatched for "
+                        "this many frames and recycle them (0 = append-only)")
+    p.add_argument("--matcher", default="",
+                   choices=["", "direct", "mxu", "mxu_bf16", "pallas"],
+                   help="descriptor matcher backend (pallas = fused Mosaic "
+                        "top-2 kernel, the large-map path)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("run")

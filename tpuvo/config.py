@@ -40,7 +40,12 @@ class MatcherConfig:
     inner product on the MXU; "mxu_bf16" additionally feeds the cross term
     in bf16 (f32 accumulation) at the MXU's native precision.  Both MXU
     forms have decision parity with "direct" on the bundled data (tested,
-    0 flips over all matches) but theoretical near-tie flips.
+    0 flips over all matches) but theoretical near-tie flips.  "pallas"
+    is the fused Mosaic top-2 kernel (ops/pallas/match_kernel.py): map
+    tiles stream through VMEM so the (N, M) distance matrix never
+    materializes — the large-map path (TPU only; interpret-mode on CPU).
+    The matcher benchmark (benchmarks/match_scaling.py) records the
+    crossover vs direct/mxu by map size.
     """
 
     distance_threshold: float = 0.2   # squared-L2 acceptance (DISTANCE_THRESHOLD)
@@ -228,6 +233,19 @@ class EngineConfig:
     # padded rows wasted ~4x the DLT+refine work). Extras beyond the cap
     # are dropped for that frame.
     max_new_landmarks_per_frame: int = 32
+    # Landmark lifecycle (map eviction / slot reuse) — NEW, no reference
+    # counterpart (the reference map is an unbounded push_back vector that
+    # never forgets, cam.cpp:122-139).  0 = off: slots are append-only
+    # (parity; required for exact push_back-order reproduction).  N > 0: a
+    # valid landmark whose last 2D-3D match is more than N frames old is
+    # EVICTED — its slot is freed and reused by new triangulations (rank-
+    # ordered free-slot scatter, still one one-hot MXU matmul).  Keeps the
+    # active map small on long sequences: fewer descriptor aliases in the
+    # matcher, and the fixed capacity stops starving new landmarks.
+    # MUST exceed local_ba_window + local_ba_every in SLAM mode (ring-
+    # buffer observations reference map slots for up to W frames;
+    # engine/slam.py validates this loudly).
+    map_evict_age: int = 0
     # minimum triangulation parallax (radians) between the two viewing rays:
     # low-parallax points have unobservable depth (reprojection can't catch
     # them — they fit both views by construction)
@@ -250,6 +268,14 @@ class EngineConfig:
     # ~2.5x/frame from 1e-5), while damped prediction keeps most of the
     # iteration savings.
     motion_model_alpha: float = 0.5
+    # Emit the full per-frame FrameLog stats from the scan (the
+    # reference's stdout narration, structured).  False = poses only: the
+    # 11 per-step diagnostic scalars (inlier counts, chi, GT-oracle match
+    # precision, drop counters) vanish from the program outputs, so XLA
+    # dead-code-eliminates the work feeding them — a latency-profile
+    # lever (~26 ms relay dispatch floor means every on-device ms is
+    # ~3%% of the single-stream budget).  Default True everywhere else.
+    log_stats: bool = True
     # lax.scan unroll factor for the frame loop: frames are sequentially
     # dependent, but unrolling lets XLA schedule/fuse across step bodies
     # (+12-41% single-sequence fps at unroll=4 on TPU v5 lite, run-to-run

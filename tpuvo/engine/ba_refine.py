@@ -182,6 +182,9 @@ def refine_trajectory_global(
     stats_out = []
     prev_fine_chi = None
     i = 0
+    # an explicit n_sweeps above the adaptive cap means the caller wants
+    # that many sweeps — honor it rather than silently clamping
+    max_sweeps = max(max_sweeps, n_sweeps)
     while i < max_sweeps:
         sweep_cfg = coarse_cfg if i == 0 else fine_cfg
         poses_all, points, chi, inliers, skipped = _global_sweep(

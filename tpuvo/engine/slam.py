@@ -173,6 +173,14 @@ def run_sequence_slam(seq, cfg: EngineConfig | None = None, seed: int = 42
     tracking estimates for diagnostics).
     """
     cfg = cfg or EngineConfig()
+    if 0 < cfg.map_evict_age <= cfg.local_ba_window + cfg.local_ba_every:
+        # ring-buffer observations reference map slots for up to W+E
+        # frames; reusing a slot inside that horizon would silently bind
+        # old observations to a NEW landmark in the local BA — fail loud
+        raise ValueError(
+            f"map_evict_age={cfg.map_evict_age} must exceed "
+            f"local_ba_window+local_ba_every="
+            f"{cfg.local_ba_window + cfg.local_ba_every} in SLAM mode")
     key = jax.random.PRNGKey(seed)
     F = seq.uv.shape[0]
 

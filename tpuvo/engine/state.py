@@ -27,6 +27,10 @@ class VOState(NamedTuple):
     vel: jnp.ndarray         # (4, 4) last relative motion (prev pose -> pose),
                              # identity until two frames tracked; feeds the
                              # constant-velocity PICP initialization
+    map_last_seen: jnp.ndarray  # (C,) i32 frame index of the landmark's last
+                             # 2D-3D match (or its founding frame); drives the
+                             # opt-in eviction policy (EngineConfig.map_evict_age)
+    frame_idx: jnp.ndarray   # () i32 frames tracked so far (0 after bootstrap)
 
 
 def empty_state(cfg: EngineConfig) -> VOState:
@@ -40,6 +44,8 @@ def empty_state(cfg: EngineConfig) -> VOState:
         map_id_meas=jnp.full((C,), -1, jnp.int32),
         map_valid=jnp.zeros((C,), bool),
         map_count=jnp.int32(0),
+        map_last_seen=jnp.zeros((C,), jnp.int32),
+        frame_idx=jnp.int32(0),
     )
 
 

@@ -64,24 +64,48 @@ def frames_of(seq, lo: int, hi: int) -> Frame:
     )
 
 
-def _append_to_map(state: VOState, xyz, desc, id_real, id_meas, new_mask) -> Tuple[VOState, jnp.ndarray]:
+def _append_to_map(state: VOState, xyz, desc, id_real, id_meas, new_mask,
+                   reuse_slots: bool = False):
     """Masked append preserving source-row order (push_back semantics).
 
     xyz: (N, 3) candidate landmarks; new_mask: (N,) which to insert.
     Entries that would overflow capacity are dropped (the reference's vector
     grows unboundedly; our capacity is sized so this never triggers on the
     bundled data — see EngineConfig.map_capacity).
+
+    reuse_slots=False (parity): candidates land in sequential slots from
+    ``map_count`` — exact push_back order.  True (lifecycle mode,
+    EngineConfig.map_evict_age): candidates fill the FREE slots
+    (``~map_valid`` — never-used or evicted) in ascending slot order, so
+    evicted slots are recycled; still one one-hot MXU matmul, no scatter.
+
+    Returns (state, n_added, cand_slots (N,) i32 — the slot each candidate
+    landed in (C when dropped), ok (N,) bool — actually inserted).
     """
     C = state.map_xyz.shape[0]
-    offs = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # position among kept
-    pos = state.map_count + offs
-    ok = new_mask & (pos < C)
-    # One-hot matmul scatter: TPU scatters serialize (~1.6 ms/frame at
-    # batch scale); target positions are unique, so the append is exactly
-    # a (C, N) one-hot times the value rows — MXU work instead.
-    tgt = jnp.where(ok, pos, C)
     slots = jnp.arange(C, dtype=jnp.int32)
-    onehot = (slots[:, None] == tgt[None, :]).astype(xyz.dtype)  # (C, N)
+    offs = jnp.cumsum(new_mask.astype(jnp.int32)) - 1  # position among kept
+    if reuse_slots:
+        free = ~state.map_valid
+        # slot c takes candidate i iff rank-among-free(c) == offs[i]
+        rank = jnp.where(free, jnp.cumsum(free.astype(jnp.int32)) - 1, -1)
+        n_free = jnp.sum(free.astype(jnp.int32))
+        ok = new_mask & (offs < n_free)
+        tgt_rank = jnp.where(ok, offs, -2)
+        onehot = (rank[:, None] == tgt_rank[None, :]).astype(xyz.dtype)  # (C, N)
+        # per-candidate landing slot (exact through f32: C < 2^24)
+        cand_slots = jnp.where(
+            ok,
+            jnp.dot(slots.astype(jnp.float32), onehot).astype(jnp.int32),
+            C)
+    else:
+        pos = state.map_count + offs
+        ok = new_mask & (pos < C)
+        # One-hot matmul scatter: TPU scatters serialize (~1.6 ms/frame at
+        # batch scale); target positions are unique, so the append is exactly
+        # a (C, N) one-hot times the value rows — MXU work instead.
+        cand_slots = jnp.where(ok, pos, C)
+        onehot = (slots[:, None] == cand_slots[None, :]).astype(xyz.dtype)  # (C, N)
     hit = jnp.sum(onehot, axis=1)  # (C,) 0/1
     keep = 1.0 - hit
 
@@ -103,7 +127,11 @@ def _append_to_map(state: VOState, xyz, desc, id_real, id_meas, new_mask) -> Tup
         hit > 0.5, jnp.round(upd[:, 4 + D]).astype(state.map_id_meas.dtype),
         state.map_id_meas)
     map_valid = state.map_valid | (hit > 0.5)
+    # founding observation counts as "seen now" for the eviction clock
+    map_last_seen = jnp.where(hit > 0.5, state.frame_idx, state.map_last_seen)
     n_added = jnp.sum(ok).astype(jnp.int32)
+    # map_count = occupancy (== cumulative appends when nothing is evicted)
+    map_count = jnp.sum(map_valid.astype(jnp.int32))
     return (
         state._replace(
             map_xyz=map_xyz,
@@ -111,9 +139,12 @@ def _append_to_map(state: VOState, xyz, desc, id_real, id_meas, new_mask) -> Tup
             map_id_real=map_id_real,
             map_id_meas=map_id_meas,
             map_valid=map_valid,
-            map_count=state.map_count + n_added,
+            map_count=map_count,
+            map_last_seen=map_last_seen,
         ),
         n_added,
+        cand_slots,
+        ok,
     )
 
 
@@ -140,7 +171,7 @@ def bootstrap(key, f0: Frame, f1: Frame, cfg: EngineConfig) -> Tuple[VOState, di
         refine_iterations=cfg.triangulation_refine_iters,
     )
     state = empty_state(cfg)
-    state, n_added = _append_to_map(
+    state, n_added, _, _ = _append_to_map(
         state, pts, f0.desc, f0.id_real, f0.id_meas, res.valid
     )
     diag = {
@@ -171,11 +202,28 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
     BETTER accuracy than the re-match it replaced (loop-fixture ATE 1.00
     vs 1.05; see DESIGN.md §10)."""
     K = jnp.asarray(cfg.K())
+    # frame clock (drives the landmark-eviction policy; bootstrap = 0)
+    state = state._replace(frame_idx=state.frame_idx + 1)
 
     # --- 2D-3D: match next frame's descriptors against the map -----------
     # (and, when fused, the 2D-2D curr->next match in the same kernel chain)
     m_img = None
-    if cfg.fuse_frame_matchers:
+    if cfg.matcher.method == "pallas":
+        # large-map profile: the 2D-3D map match streams map tiles through
+        # the Mosaic kernel (no (N, C) matrix in HBM); the small 2D-2D
+        # frame match (N x N, both <= 128) stays on the plain MXU path —
+        # fusing it into the kernel's padded tile would only add work
+        m_map = match_descriptors(
+            nxt.desc, nxt.valid, state.map_desc, state.map_valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            "pallas",
+        )
+        m_img = match_descriptors(
+            curr.desc, curr.valid, nxt.desc, nxt.valid,
+            cfg.matcher.distance_threshold, cfg.matcher.ratio_threshold,
+            "mxu",
+        )
+    elif cfg.fuse_frame_matchers:
         from tpuvo.ops.match import match_descriptors_pair
 
         m_map, m_img = match_descriptors_pair(
@@ -191,6 +239,28 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         )
     map_ids = state.map_id_real[m_map.idx]
     n_map_correct = jnp.sum(m_map.valid & (nxt.id_real == map_ids))
+
+    # --- landmark lifecycle (EngineConfig.map_evict_age) -----------------
+    # mark matched slots seen this frame, then evict slots stale past the
+    # age (one-hot MXU membership, no scatter).  A slot matched THIS frame
+    # is by construction not stale; evicted slots are freed for reuse by
+    # this frame's append below.  m_map itself is unaffected (it was
+    # computed against the pre-eviction map, and every accepted match is
+    # to a landmark that survives).
+    if cfg.map_evict_age > 0:
+        C = state.map_xyz.shape[0]
+        slots_c = jnp.arange(C, dtype=jnp.int32)
+        member = (slots_c[:, None] == m_map.idx[None, :]).astype(jnp.float32)
+        seen = jnp.dot(
+            member, m_map.valid.astype(jnp.float32),
+            preferred_element_type=jnp.float32) > 0.5
+        last_seen = jnp.where(seen, state.frame_idx, state.map_last_seen)
+        stale = state.map_valid & (
+            state.frame_idx - last_seen > cfg.map_evict_age)
+        state = state._replace(
+            map_last_seen=last_seen,
+            map_valid=state.map_valid & ~stale,
+        )
 
     # --- PICP initial guess (icp_test.cpp:79: previous pose; optionally a
     # constant-velocity prediction, which cuts GN iterations) --------------
@@ -321,9 +391,10 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         vel_new = jnp.where(healthy, rel, state.vel)
     else:
         vel_new = state.vel
-    state2, n_added = _append_to_map(
+    state2, n_added, cand_slots, cand_ok = _append_to_map(
         state._replace(pose=new_pose, vel=vel_new),
         pts, desc_c, idr_c, idm_c, keep,
+        reuse_slots=cfg.map_evict_age > 0,
     )
     # cap visibility (see FrameLog): candidates past the Kc compaction
     # slots, and keeps past map capacity, are dropped — count both
@@ -345,13 +416,11 @@ def track_step(state: VOState, curr: Frame, nxt: Frame, cfg: EngineConfig,
         n_dropped_overflow=n_overflow,
     )
     if return_matches:
-        # map slots the kept candidates landed in (_append_to_map layout:
-        # sequential slots from the pre-append count, overflow dropped)
-        offs_keep = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        new_slots = state.map_count + offs_keep
-        new_valid = keep & (new_slots < state2.map_xyz.shape[0])
+        # map slots the kept candidates landed in, straight from the
+        # append (exact under BOTH slot policies — sequential push_back
+        # and the lifecycle free-slot reuse)
         return state2, log, (m_map.idx, m_map.valid,
-                             new_slots, uv2_c, new_valid)
+                             cand_slots, uv2_c, cand_ok)
     return state2, log
 
 
@@ -394,8 +463,16 @@ def scan_tracker(state: VOState, frames_curr: Frame, frames_next: Frame,
     def step(s, fr):
         c, n = fr
         s2, log = track_step(s, c, n, cfg, kernel_threshold)
+        if not cfg.log_stats:
+            return s2, log.pose  # stats dropped -> XLA DCEs their work
         return s2, _pack_log(log)
 
+    if not cfg.log_stats:
+        state, poses = jax.lax.scan(
+            step, state, (frames_curr, frames_next), unroll=cfg.scan_unroll
+        )
+        F = poses.shape[0]
+        return state, _unpack_logs(poses, jnp.zeros((F, 11), jnp.float32))
     state, (poses, stats) = jax.lax.scan(
         step, state, (frames_curr, frames_next), unroll=cfg.scan_unroll
     )
@@ -412,6 +489,26 @@ from functools import partial as _partial
 
 bootstrap_jit = _partial(jax.jit, static_argnames=("cfg",))(bootstrap)
 scan_tracker_jit = _partial(jax.jit, static_argnames=("cfg",))(scan_tracker)
+
+
+def full_run(key, f0: Frame, f1: Frame, frames_curr: Frame,
+             frames_next: Frame, cfg: EngineConfig):
+    """Bootstrap + full-sequence tracking as ONE traced program.
+
+    The latency path: ``run_sequence`` dispatches two compiled programs
+    (bootstrap, then the scan) — fine for throughput, but the host->device
+    dispatch gap between them is pure serial latency on the single-stream
+    race (the C++ loop it races, exec/icp_test.cpp:61-136, has no such
+    boundary).  Fusing both into one jit removes the gap and lets XLA
+    overlap the RANSAC/triangulation tail with the first scan steps.
+
+    Returns (final state, FrameLog stack) — same as ``scan_tracker``.
+    """
+    state, _ = bootstrap(key, f0, f1, cfg)
+    return scan_tracker(state, frames_curr, frames_next, cfg)
+
+
+full_run_jit = _partial(jax.jit, static_argnames=("cfg",))(full_run)
 
 
 def make_tracker(cfg: EngineConfig):
@@ -514,6 +611,13 @@ def run_threshold_sweep(seq, thresholds, cfg: EngineConfig | None = None, seed: 
     tracker vmapped over a robust-kernel-threshold axis — e.g.
     thresholds=[1000, 3000, 10000] runs as 3 lanes of ONE compiled program
     (the bootstrap is threshold-independent and shared).
+
+    CAVEAT: sharing the bootstrap is exact for the stated config-2
+    semantics (the robust kernel only enters the per-frame PICP solves,
+    icp_test.cpp:86), but it means RANSAC/triangulation are NOT re-run
+    per lane — lane-to-lane differences measure the tracking loop's
+    threshold sensitivity only, which understates full-pipeline
+    sensitivity if the bootstrap itself were threshold-dependent.
 
     Returns (states, logs, poses) with a leading threshold axis.
     """

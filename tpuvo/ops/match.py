@@ -96,7 +96,23 @@ def match_descriptors(
     """Match set1 -> set2 under threshold + Lowe ratio acceptance.
 
     desc1: (N, D), valid1: (N,); desc2: (M, D), valid2: (M,).
+
+    method="pallas" routes to the fused Mosaic top-2 kernel
+    (ops/pallas/match_kernel.py): the (N, M) distance matrix never
+    materializes — map tiles stream through VMEM — so large maps (8k+
+    landmarks) run at HBM-bandwidth speed.  On the CPU backend the kernel
+    runs in interpret mode (semantics twin; use for tests only).
     """
+    if method == "pallas":
+        import jax
+
+        from tpuvo.ops.pallas.match_kernel import match_descriptors_pallas
+
+        return match_descriptors_pallas(
+            desc1, valid1, desc2, valid2,
+            distance_threshold, ratio_threshold,
+            interpret=jax.default_backend() == "cpu",
+        )
     dist = descriptor_distances(desc1, desc2, method)
     best, idx, second = top2_min(dist, valid2)
     # best/second: inf second -> ratio 0 (passes), mirroring FLT_MAX division

@@ -42,6 +42,11 @@ def load_state(path: str):
 
     if "vel" not in fields:  # checkpoints written before the vel field
         fields["vel"] = np.eye(4, dtype=np.float32)
+    # checkpoints written before the landmark-lifecycle fields
+    if "map_last_seen" not in fields:
+        fields["map_last_seen"] = np.zeros(fields["map_valid"].shape, np.int32)
+    if "frame_idx" not in fields:
+        fields["frame_idx"] = np.int32(0)
     state = VOState(**{k: jnp.asarray(v) for k, v in fields.items()})
     extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
     return state, int(z["frame_idx"]), extra
@@ -73,6 +78,10 @@ class OrbaxCheckpointer:
         ocp = self._ocp
         payload = {"state": state._asdict() if hasattr(state, "_asdict")
                    else dict(state)}
+        # explicit state-type tag: restore(target=None) dispatches on this
+        # instead of key-set sniffing (a non-VOState dict with coincident
+        # keys must NOT silently come back wrapped as a VOState)
+        payload["state_type"] = type(state).__name__
         if extra:
             payload["extra"] = dict(extra)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
@@ -97,7 +106,11 @@ class OrbaxCheckpointer:
         sdict = out["state"]
         if target is not None and hasattr(target, "_asdict"):
             return type(target)(**sdict), extra
-        if target is None and set(sdict) == set(VOState._fields):
+        saved_type = out.get("state_type")
+        if saved_type is None:  # pre-tag checkpoints: legacy key-set sniff
+            saved_type = ("VOState"
+                          if set(sdict) == set(VOState._fields) else None)
+        if target is None and saved_type == "VOState":
             return VOState(**sdict), extra
         return sdict, extra
 
