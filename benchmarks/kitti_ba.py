@@ -61,7 +61,19 @@ def main():
     ap.add_argument("--evict-age", type=int, default=0,
                     help="landmark lifecycle: evict slots unmatched for "
                          "this many frames (0 = append-only map)")
+    ap.add_argument("--matcher", default="mxu",
+                    choices=["direct", "mxu", "mxu_bf16", "pallas"],
+                    help="map-match backend (pallas = fused Mosaic top-2 "
+                         "kernel, wins at 8k+ landmark maps)")
+    ap.add_argument("--slam-window", type=int, default=0,
+                    help="override local_ba_window (0 = engine default)")
+    ap.add_argument("--slam-every", type=int, default=0,
+                    help="override local_ba_every (0 = engine default)")
+    ap.add_argument("--slam-iters", type=int, default=0,
+                    help="override local_ba_iterations (0 = engine default)")
     args = ap.parse_args()
+
+    from tpuvo.config import MatcherConfig
 
     cfg = EngineConfig(
         mode="fixed",
@@ -69,10 +81,17 @@ def main():
         map_capacity=args.map_capacity,
         fuse_frame_matchers=True,
         map_evict_age=args.evict_age,
+        matcher=MatcherConfig(method=args.matcher),
         picp=PICPConfig(convergence_threshold=1e-4),
         ba=BAConfig(window=args.window, iterations=args.ba_iterations,
                     max_landmarks=args.map_capacity),
     )
+    if args.slam_window:
+        cfg = cfg.replace(local_ba_window=args.slam_window)
+    if args.slam_every:
+        cfg = cfg.replace(local_ba_every=args.slam_every)
+    if args.slam_iters:
+        cfg = cfg.replace(local_ba_iterations=args.slam_iters)
     # scene scale follows tests/test_ba_refine.py::test_kitti_like_long_sequence
     # (deep z-range so forward motion keeps landmarks in view); absolute ATE
     # on long monocular forward motion is scale-drift-dominated — the
@@ -164,6 +183,7 @@ def main():
         # attributed between capacity starvation and genuine drift
         "map_capacity": args.map_capacity,
         "evict_age": args.evict_age,
+        "matcher": args.matcher,
         "cum_dropped_candidates": int(np.sum(np.asarray(
             logs.n_dropped_candidates))),
         "cum_dropped_overflow": int(np.sum(np.asarray(

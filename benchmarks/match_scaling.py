@@ -7,11 +7,12 @@ times one 128-query match per method and appends the crossover record to
 results.jsonl.
 
 Methodology (relay-aware, see benchmarks/latency_fused_probe.py): a
-single match dispatch sits below the ~26 ms relay floor, so each timed
-unit is a jitted CHAIN of ``chain`` dependent matches (output feeds the
-next query selection) — one dispatch, chain x real kernel executions;
-per-match time = wall / chain.  Median of --reps, queue drained after
-warmup.
+single match dispatch sits below the ~26 ms relay floor, so the timed
+unit is a jitted CHAIN of dependent matches (output feeds the next
+query perturbation), and the per-match cost is the MARGINAL between a
+``chain`` and a ``chain+200`` program — the dispatch floor and the
+chain-independent fixed costs cancel exactly.  Median of --reps, queue
+drained after warmup.
 """
 
 import argparse
@@ -53,13 +54,23 @@ def make_timed_fn(method, chain):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=9)
-    ap.add_argument("--chain", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--chain-delta", type=int, default=200)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.uniform(-1, 1, (N_QUERIES, DESC)).astype(np.float32))
     vq = jnp.ones((N_QUERIES,), bool)
+
+    def timed_med(fn, m, vm):
+        np.asarray(fn(q, vq, m, vm)[1])  # warm + drain
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(q, vq, m, vm)[1])
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
 
     rows = {}
     for M in MAP_SIZES:
@@ -68,18 +79,14 @@ def main():
         rows[M] = {}
         for method in METHODS:
             if method == "direct" and M > 32768:
-                continue  # (N, M, D) broadcast would be 16 GB+: skip
+                continue  # (N, M, D) broadcast blows HBM: skip
             try:
-                fn = make_timed_fn(method, args.chain)
-                acc, probe = fn(q, vq, m, vm)
-                np.asarray(probe)  # warm + drain
-                ts = []
-                for _ in range(args.reps):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(fn(q, vq, m, vm)[1])
-                    ts.append(time.perf_counter() - t0)
-                med = sorted(ts)[len(ts) // 2]
-                rows[M][method] = round(1e6 * med / args.chain, 1)  # us/match
+                t_lo = timed_med(make_timed_fn(method, args.chain), m, vm)
+                t_hi = timed_med(
+                    make_timed_fn(method, args.chain + args.chain_delta),
+                    m, vm)
+                rows[M][method] = round(
+                    1e6 * (t_hi - t_lo) / args.chain_delta, 1)  # us/match
             except Exception as e:
                 rows[M][method] = f"error: {str(e)[:120]}"
             print(json.dumps({"map_size": M, "method": method,
@@ -89,7 +96,11 @@ def main():
         "bench": "match_scaling",
         "n_queries": N_QUERIES,
         "chain": args.chain,
+        "chain_delta": args.chain_delta,
         "reps": args.reps,
+        "method": "marginal us/match between chain and chain+delta jitted "
+                  "dependent-match programs (cancels the ~26 ms relay "
+                  "dispatch floor)",
         "us_per_match": {str(k): v for k, v in rows.items()},
         "device": str(jax.devices()[0]),
     }
