@@ -71,6 +71,14 @@ def main():
                     help="override local_ba_every (0 = engine default)")
     ap.add_argument("--slam-iters", type=int, default=0,
                     help="override local_ba_iterations (0 = engine default)")
+    ap.add_argument("--slam-stride", type=int, default=0,
+                    help="override local_ba_stride (keyframe spacing of the "
+                         "local window; 0 = engine default)")
+    ap.add_argument("--annealed", action="store_true",
+                    help="annealed PICP robust kernel (GNC-style schedule; "
+                         "targets the scale-undershoot minimum at 1 m/frame)")
+    ap.add_argument("--motion-model", action="store_true",
+                    help="constant-velocity PICP initialization")
     args = ap.parse_args()
 
     from tpuvo.config import MatcherConfig
@@ -82,7 +90,9 @@ def main():
         fuse_frame_matchers=True,
         map_evict_age=args.evict_age,
         matcher=MatcherConfig(method=args.matcher),
-        picp=PICPConfig(convergence_threshold=1e-4),
+        motion_model_init=args.motion_model,
+        picp=PICPConfig(convergence_threshold=1e-4,
+                        annealed_kernel=args.annealed),
         ba=BAConfig(window=args.window, iterations=args.ba_iterations,
                     max_landmarks=args.map_capacity),
     )
@@ -92,6 +102,8 @@ def main():
         cfg = cfg.replace(local_ba_every=args.slam_every)
     if args.slam_iters:
         cfg = cfg.replace(local_ba_iterations=args.slam_iters)
+    if args.slam_stride:
+        cfg = cfg.replace(local_ba_stride=args.slam_stride)
     # scene scale follows tests/test_ba_refine.py::test_kitti_like_long_sequence
     # (deep z-range so forward motion keeps landmarks in view); absolute ATE
     # on long monocular forward motion is scale-drift-dominated — the

@@ -296,6 +296,23 @@ class EngineConfig:
     local_ba_window: int = 16
     local_ba_every: int = 2
     local_ba_iterations: int = 6
+    # Keyframe-style striding: the local window holds W poses spaced
+    # ``local_ba_stride`` frames apart (1 = contiguous, the classic
+    # sliding window).  Stride multiplies the temporal horizon the solve
+    # anchors against at the SAME per-solve cost — the lever for slow
+    # scale drift on long sequences.  In-between (non-keyframe) poses
+    # keep their tracked values; corrections flow forward because each
+    # new frame tracks from the BA-corrected previous pose.  Ring-buffer
+    # depth becomes W*S.  Measured landscape on the 500-frame open
+    # KITTI-scale fixture (ate_slam @ slam_fps, TPU v5 lite):
+    # W16/S1/E2 (default) 30.5 @ 892; W32/S1 15.2 @ 611; W48/S1 13.0;
+    # W32/S2 11.9 @ 663; W40/S2 9.7 @ 620; W32/S2/E1 6.5 @ 367;
+    # W40/S2/E1 3.7 @ 332 — but
+    # S3 or horizon > ~80 frames REGRESSES (21+): too-sparse keyframes
+    # starve the windows of shared observations.  Long-sequence
+    # recommendation: W32-40, S2, E1-2.  The 121-frame bundled sequence
+    # and the 200-frame loop bench keep the W16/S1 default.
+    local_ba_stride: int = 1
     # active-landmark cap for the in-scan local BA solve (see
     # BAConfig.compact_cap); None = exact W*N+1 bound.  Inert when the
     # map capacity is already <= the cap (e.g. the bundled 512 map).

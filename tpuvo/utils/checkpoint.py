@@ -80,8 +80,10 @@ class OrbaxCheckpointer:
                    else dict(state)}
         # explicit state-type tag: restore(target=None) dispatches on this
         # instead of key-set sniffing (a non-VOState dict with coincident
-        # keys must NOT silently come back wrapped as a VOState)
-        payload["state_type"] = type(state).__name__
+        # keys must NOT silently come back wrapped as a VOState).  Encoded
+        # as a uint8 array — orbax StandardSave rejects raw strings.
+        payload["state_type"] = np.frombuffer(
+            type(state).__name__.encode(), dtype=np.uint8).copy()
         if extra:
             payload["extra"] = dict(extra)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
@@ -100,14 +102,26 @@ class OrbaxCheckpointer:
         args = None
         if target is not None:
             tdict = target._asdict() if hasattr(target, "_asdict") else dict(target)
-            args = ocp.args.StandardRestore({"state": tdict})
+            # orbax StandardRestore requires the restore tree to match the
+            # on-disk structure exactly — build the full tree from the
+            # checkpoint's own metadata (covers state_type / extra keys
+            # the caller doesn't know about) and overlay the caller's
+            # target (shapes/dtypes/SHARDINGS) on the "state" entry
+            meta = self._mgr.item_metadata(step)
+            item = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), dict(meta))
+            item["state"] = tdict
+            args = ocp.args.StandardRestore(item)
         out = self._mgr.restore(step, args=args)
         extra = out.get("extra", {})
         sdict = out["state"]
         if target is not None and hasattr(target, "_asdict"):
             return type(target)(**sdict), extra
         saved_type = out.get("state_type")
-        if saved_type is None:  # pre-tag checkpoints: legacy key-set sniff
+        if saved_type is not None:
+            saved_type = bytes(
+                np.asarray(saved_type, dtype=np.uint8)).decode()
+        else:  # pre-tag checkpoints: legacy key-set sniff
             saved_type = ("VOState"
                           if set(sdict) == set(VOState._fields) else None)
         if target is None and saved_type == "VOState":
