@@ -140,8 +140,15 @@ WORKER_PGO = COMMON + textwrap.dedent(
     from tpuvo.parallel.posegraph_sharded import sharded_pgo_solve
     from tpuvo.ops import lie
 
-    # noisy circle trajectory, odometry backbone + random loop edges -> ~1k
-    F = 512
+    # noisy circle trajectory, odometry backbone + random loop edges.
+    # The sharded axis is EDGES; the per-iteration psum carries the full
+    # replicated (6F, 6F) H — the compute/comm ratio is edges/F^2, so the
+    # meaningful scaling regime is dense graphs (many edges per pose).
+    # Defaults: F=128, 4000 extra edges (H = 2.3 MB/psum).  F=512/500
+    # edges is the communication-bound counterexample (H = 37 MB/psum,
+    # efficiency ~0.39 on loopback TCP) — settable via env to record it.
+    F = int(os.environ.get("TPUVO_PGO_F", "128"))
+    NE = int(os.environ.get("TPUVO_PGO_EXTRA", "4000"))
     rng = np.random.default_rng(3)
     theta = np.linspace(0, 2 * np.pi, F).astype(np.float32)
     poses = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
@@ -149,11 +156,11 @@ WORKER_PGO = COMMON + textwrap.dedent(
     poses[:, 1, 3] = 30.0 * np.sin(theta)
     poses[:, :3, 3] += rng.normal(0, 0.3, (F, 3)).astype(np.float32)
     gt = jnp.asarray(poses)
-    extra_i = rng.integers(0, F - 40, 500)
-    extra_j = extra_i + rng.integers(20, 40, 500)
+    extra_i = rng.integers(0, F - 40, NE)
+    extra_j = extra_i + rng.integers(20, 40, NE)
     eij = jnp.asarray(np.stack([extra_i, extra_j], 1).astype(np.int32))
     eT = jax.vmap(lambda i, j: lie.inv_se3(gt[i]) @ gt[j])(eij[:, 0], eij[:, 1])
-    ew = jnp.ones((500,), jnp.float32)
+    ew = jnp.ones((NE,), jnp.float32)
     graph = build_graph(gt, extra_edges=[(eij, eT, ew)])
     mesh = Mesh(np.array(jax.devices()), ("edge",))
 
@@ -178,7 +185,8 @@ SCALE_DESC = {
     "ba": "sharded Schur BA, W=6 L=16384 98k obs, unit=GN iteration",
     "match": "landmark-sharded matcher, 128 queries x 131072 landmarks, "
              "unit=full match",
-    "pgo": "edge-sharded PGO, F=512, 1011 edges, unit=LM iteration",
+    "pgo": "edge-sharded PGO (env TPUVO_PGO_F/TPUVO_PGO_EXTRA; default "
+           "F=128, 4000 extra edges), unit=LM iteration",
 }
 
 
