@@ -178,6 +178,14 @@ def cmd_slam(args):
     from tpuvo.utils.metrics import MetricsLogger, log_frame_logs
 
     cfg, seq = _load(args)
+    # local-BA shape overrides (long sequences want W32-40/S2, see
+    # EngineConfig.local_ba_stride's measured landscape)
+    if args.window:
+        cfg = cfg.replace(local_ba_window=args.window)
+    if args.every:
+        cfg = cfg.replace(local_ba_every=args.every)
+    if args.stride:
+        cfg = cfg.replace(local_ba_stride=args.stride)
     state, logs, poses, diag = run_sequence_slam(seq, cfg, seed=args.seed)
     poses = np.asarray(poses)
     res = evaluate(poses, seq.gt_pose, cfg)
@@ -340,6 +348,13 @@ def main(argv=None):
     s.add_argument("--refine", default="none", choices=["none", "global", "loop"])
     s.add_argument("--iterations", type=int, default=15)
     s.add_argument("--sweeps", type=int, default=3)
+    s.add_argument("--window", type=int, default=0,
+                   help="local-BA window size W (0 = engine default 16)")
+    s.add_argument("--every", type=int, default=0,
+                   help="run local BA every E frames (0 = default 2)")
+    s.add_argument("--stride", type=int, default=0,
+                   help="keyframe spacing S of the local window (0 = "
+                        "default 1; long sequences: W32-40, S2)")
     s.set_defaults(fn=cmd_slam)
     s = sub.add_parser("sweep")
     s.add_argument("--thresholds", default="1000,3000,10000")
