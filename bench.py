@@ -42,15 +42,17 @@ def main():
     # "fixed" mode = production default: landmark parallax gating keeps the
     # tracker robust through the sparse section on every backend (parity
     # mode reproduces the reference's fragile unfiltered map; see README).
-    # Matcher "direct" measured faster than "mxu" at the bundled 512-map
-    # size (55 vs 125 us at batch 128) — the MXU path wins on big maps.
+    # Matcher "mxu_bf16" (round 5): +11% batched throughput over "direct"
+    # (65.2k vs 58.6k fps at batch 256 — the bf16 cross-term matmul at the
+    # MXU's native precision), decision-identical on the bundled data
+    # (0 accept/index flips; the ATE/golden gates below verify every run).
     from tpuvo.config import PICPConfig
 
     cfg = EngineConfig(
         mode=os.environ.get("TPUVO_BENCH_MODE", "fixed"),
         fuse_frame_matchers=os.environ.get("TPUVO_BENCH_FUSED", "0") == "1",
         motion_model_init=os.environ.get("TPUVO_BENCH_MOTION", "0") == "1",
-        matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "direct")),
+        matcher=MatcherConfig(method=os.environ.get("TPUVO_BENCH_MATCHER", "mxu_bf16")),
         # fast profile: rel-chi 1e-4 (mean 5 GN iters vs 7.6, no accuracy
         # cost); keep 2 triangulation polish iterations — dropping to 1
         # was fine on CPU but cost ~0.05 ATE on the TPU fp path.
@@ -83,11 +85,17 @@ def main():
     # relay dispatch floor is ~26 ms of the ~29 ms wall — real on-device
     # compute is ~3 ms (~40k fps) — so the recorded number is dominated by
     # the tunnel tax the local C++ loop does not pay, and still wins.
+    from tpuvo.config import RansacConfig
+
     cfg_lat = dataclasses.replace(
         cfg,
         scan_unroll=int(os.environ.get("TPUVO_BENCH_SCAN_UNROLL", "8")),
         log_stats=os.environ.get("TPUVO_BENCH_LAT_STATS", "0") == "1",
         fuse_frame_matchers=os.environ.get("TPUVO_BENCH_LAT_FUSED", "1") == "1",
+        # 256 RANSAC hypotheses: measured fps-neutral-to-positive with
+        # identical ATE (0.1885) — half the bootstrap matmul work
+        ransac=RansacConfig(num_hypotheses=int(
+            os.environ.get("TPUVO_BENCH_LAT_RANSAC", "256"))),
         max_new_landmarks_per_frame=int(
             os.environ.get("TPUVO_BENCH_LAT_NEWLM", "24")),
         picp=dataclasses.replace(
