@@ -104,3 +104,37 @@ def test_eval_writes_reference_format(tmp_path, real_run, sequence):
     assert wps.shape == (490, 4)
     # ids ascending like the reference dump
     assert (np.diff(wps[:, 0]) > 0).all()
+
+
+def test_full_run_matches_two_dispatch():
+    """vo.full_run (the single-dispatch latency path) must produce exactly
+    the two-dispatch run_sequence trajectory — same traced functions, one
+    program boundary removed."""
+    import jax
+
+    from tpuvo.config import EngineConfig
+    from tpuvo.data import synthetic
+    from tpuvo.engine import vo
+
+    cfg = EngineConfig(mode="fixed", map_capacity=256, max_obs=64)
+    world = synthetic.make_world(11, n_landmarks=300, xy_extent=8.0)
+    gt = synthetic.make_planar_trajectory(25, seed=11)
+    seq = synthetic.render_sequence(world, gt, cfg, seed=11)
+    F = seq.uv.shape[0]
+    key = jax.random.PRNGKey(42)
+
+    _, _, poses2, _ = vo.run_sequence(seq, cfg, seed=42)
+    s, lg = vo.full_run_jit(
+        key, vo.frame_of(seq, 0), vo.frame_of(seq, 1),
+        vo.frames_of(seq, 0, F - 1), vo.frames_of(seq, 1, F), cfg)
+    np.testing.assert_allclose(
+        np.asarray(lg.pose), np.asarray(poses2[1:]), atol=1e-6)
+
+    # log_stats=False drops the diagnostics but NOT the poses
+    cfg2 = cfg.replace(log_stats=False)
+    s2, lg2 = vo.full_run_jit(
+        key, vo.frame_of(seq, 0), vo.frame_of(seq, 1),
+        vo.frames_of(seq, 0, F - 1), vo.frames_of(seq, 1, F), cfg2)
+    np.testing.assert_allclose(
+        np.asarray(lg2.pose), np.asarray(lg.pose), atol=1e-6)
+    assert int(np.sum(np.asarray(lg2.num_inliers))) == 0  # zero-filled

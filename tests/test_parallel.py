@@ -127,3 +127,26 @@ def test_sharded_ba_step_runs_jitted(mesh):
     sp2, stats = sharded_ba_step(mesh, sp, K, CFG.width, CFG.height, cfg)
     assert np.isfinite(np.asarray(sp2.poses)).all()
     assert int(stats.num_obs) > 0
+
+
+def test_sharded_match_pallas_parity(mesh):
+    """method='pallas' inside the sharded matcher: each virtual device
+    streams its landmark shard through the Mosaic kernel (interpret mode
+    on CPU); decisions must match the dense XLA oracle exactly."""
+    rng = np.random.default_rng(5)
+    d1 = jnp.asarray(rng.uniform(-1, 1, (64, 10)).astype(np.float32))
+    v1 = jnp.ones(64, bool)
+    desc2 = rng.uniform(-1, 1, (4096, 10)).astype(np.float32)
+    desc2[100] = np.asarray(d1[3])            # exact hit, shard 0
+    desc2[3000] = np.asarray(d1[3]) + 0.01    # runner-up in a later shard
+    valid2 = np.ones(4096, bool)
+    valid2[512:540] = False
+    ref = match_descriptors(d1, v1, jnp.asarray(desc2), jnp.asarray(valid2))
+    got = sharded_match_descriptors(
+        mesh, d1, v1, jnp.asarray(desc2), jnp.asarray(valid2),
+        method="pallas")
+    assert np.array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    m = np.asarray(ref.valid)
+    assert np.array_equal(np.asarray(ref.idx)[m], np.asarray(got.idx)[m])
+    np.testing.assert_allclose(
+        np.asarray(ref.best)[m], np.asarray(got.best)[m], atol=1e-4)

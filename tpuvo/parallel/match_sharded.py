@@ -26,6 +26,17 @@ from tpuvo.ops.match import MatchResult, descriptor_distances, top2_min
 
 
 def _local_top2(desc1, desc2_shard, valid2_shard, method):
+    if method == "pallas":
+        # fused Mosaic kernel per shard (composes with shard_map: each
+        # device streams its own landmark shard through VMEM tiles);
+        # interpret mode on CPU so the virtual-device tests exercise it
+        import jax
+
+        from tpuvo.ops.pallas.match_kernel import match_topk_pallas
+
+        return match_topk_pallas(
+            desc1, None, desc2_shard, valid2_shard,
+            interpret=jax.default_backend() == "cpu")
     dist = descriptor_distances(desc1, desc2_shard, method)
     best, idx, second = top2_min(dist, valid2_shard)
     return best, idx, second
