@@ -124,3 +124,40 @@ def test_slam_rejects_unsafe_age():
     seq = synthetic.render_sequence(world, gt, cfg, seed=1)
     with pytest.raises(ValueError, match="map_evict_age"):
         run_sequence_slam(seq, cfg)
+
+
+def test_lifecycle_under_vmap():
+    """Eviction + slot reuse must be vmappable (the throughput mode vmaps
+    the whole tracker; rank-ordered one-hot reuse has no data-dependent
+    shapes, so this is a compile+finiteness check over distinct lanes)."""
+    import jax
+
+    cfg = small_cfg(map_evict_age=6)
+    world = synthetic.make_world(5, n_landmarks=300, xy_extent=8.0)
+    gt = synthetic.make_planar_trajectory(20, seed=5)
+    seq = synthetic.render_sequence(world, gt, cfg, seed=5)
+    F = seq.uv.shape[0]
+    B = 3
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, B)
+    tile = lambda x: jnp.broadcast_to(jnp.asarray(x)[None], (B,) + x.shape)
+    ball = jax.tree.map(tile, vo.frames_of(seq, 0, F))
+    noise = 0.3 * jax.random.normal(jax.random.PRNGKey(7), ball.uv.shape)
+    ball = ball._replace(uv=ball.uv + noise * ball.valid[..., None])
+    bf0 = jax.tree.map(lambda x: x[:, 0], ball)
+    bf1 = jax.tree.map(lambda x: x[:, 1], ball)
+    bc = jax.tree.map(lambda x: x[:, 0:F - 1], ball)
+    bn = jax.tree.map(lambda x: x[:, 1:F], ball)
+
+    @jax.jit
+    def batched(k, f0, f1, c, n):
+        s, _ = jax.vmap(lambda kk, a, b: vo.bootstrap(kk, a, b, cfg))(k, f0, f1)
+        s, lg = jax.vmap(lambda st, cc, nn: vo.scan_tracker(st, cc, nn, cfg))(s, c, n)
+        return s, lg
+
+    s, lg = batched(keys, bf0, bf1, bc, bn)
+    assert np.all(np.isfinite(np.asarray(lg.pose)))
+    assert np.all(np.asarray(s.frame_idx) == F - 1)
+    # per-lane noise -> lanes evolve distinct maps
+    counts = np.asarray(s.map_count)
+    assert counts.min() > 0
