@@ -41,6 +41,8 @@ def measure(cfg, seq, reps):
         return lg
 
     lg = run_once()
+    import numpy as _np
+    _np.asarray(lg.pose)  # drain the relay queue (block_until_ready can no-op against a backlog)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()

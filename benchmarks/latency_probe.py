@@ -43,7 +43,9 @@ def measure(cfg, seq, reps):
         return lg
 
     t0 = time.perf_counter()
-    lg = run_once()  # warm / compile
+    lg = run_once()
+    import numpy as _np
+    _np.asarray(lg.pose)  # drain the relay queue (block_until_ready can no-op against a backlog)  # warm / compile
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(reps):

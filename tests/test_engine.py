@@ -138,3 +138,34 @@ def test_full_run_matches_two_dispatch():
     np.testing.assert_allclose(
         np.asarray(lg2.pose), np.asarray(lg.pose), atol=1e-6)
     assert int(np.sum(np.asarray(lg2.num_inliers))) == 0  # zero-filled
+
+
+def test_online_vo_matches_batch(tmp_path):
+    """The streaming OnlineVO session must reproduce run_sequence pose-
+    for-pose, including across a checkpoint/resume boundary mid-stream."""
+    import jax
+
+    from tpuvo.config import EngineConfig
+    from tpuvo.data import synthetic
+    from tpuvo.engine import vo
+
+    cfg = EngineConfig(mode="fixed", map_capacity=256, max_obs=64)
+    world = synthetic.make_world(13, n_landmarks=300, xy_extent=8.0)
+    gt = synthetic.make_planar_trajectory(16, seed=13)
+    seq = synthetic.render_sequence(world, gt, cfg, seed=13)
+    F = seq.uv.shape[0]
+
+    _, _, poses_ref, _ = vo.run_sequence(seq, cfg, seed=42)
+
+    sess = vo.OnlineVO(cfg, seed=42)
+    sess.start(vo.frame_of(seq, 0), vo.frame_of(seq, 1))
+    poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, F):
+        poses.append(np.asarray(sess.step(vo.frame_of(seq, i))))
+        if i == F // 2:  # checkpoint + resume mid-stream
+            ck = str(tmp_path / "online.npz")
+            sess.checkpoint(ck)
+            sess = vo.OnlineVO.resume(ck, cfg, seed=42)
+    np.testing.assert_allclose(
+        np.stack(poses), np.asarray(poses_ref), atol=1e-5)
+    assert sess.frame_count == F + 1

@@ -52,7 +52,21 @@ def cmd_run(args):
 
     cfg, seq = _load(args)
     logs = None
-    if args.checkpoint_every > 0:
+    if getattr(args, "online", False):
+        # streaming session: one frame at a time through OnlineVO (the
+        # serving interface) — pose-for-pose identical to the batch run
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from tpuvo.engine import vo as _vo
+
+        sess = _vo.OnlineVO(cfg, seed=args.seed)
+        sess.start(_vo.frame_of(seq, 0), _vo.frame_of(seq, 1))
+        plist = [_np.eye(4, dtype=_np.float32)]
+        for i in range(1, seq.uv.shape[0]):
+            plist.append(_np.asarray(sess.step(_vo.frame_of(seq, i))))
+        state, poses = sess.state, _np.stack(plist)
+    elif args.checkpoint_every > 0:
         # checkpointed chunked tracking with automatic resume (the
         # checkpoint lives under --out; delete it to restart from scratch)
         from tpuvo.engine.vo import run_sequence_chunked
@@ -330,6 +344,9 @@ def main(argv=None):
 
     s = sub.add_parser("run")
     s.add_argument("--out", default="output")
+    s.add_argument("--online", action="store_true",
+                   help="stream frames one at a time through the OnlineVO "
+                        "serving session (identical trajectory to batch)")
     s.add_argument("--checkpoint-every", type=int, default=0,
                    help="checkpoint the tracker state every N frames "
                         "(0 = off); an existing checkpoint resumes")

@@ -540,6 +540,82 @@ def run_sequence(seq, cfg: EngineConfig | None = None, seed: int = 42):
     return state, logs, poses, diag
 
 
+track_step_jit = _partial(
+    jax.jit, static_argnames=("cfg", "return_matches"))(track_step)
+
+
+class OnlineVO:
+    """Streaming (serving) interface: feed frames one at a time.
+
+    The reference and the batch drivers consume a whole recorded sequence
+    (exec/icp_test.cpp:26); a deployed VO system receives frames online.
+    This wraps the SAME jitted ``track_step`` the scanned tracker uses —
+    one compiled program per frame after warmup, module-level jit cache
+    (no recompile across sessions with the same config/shapes).
+
+        vo = OnlineVO(cfg)
+        vo.start(frame0, frame1)          # two-view bootstrap
+        for frame in stream:
+            pose = vo.step(frame)         # (4, 4) camera-in-world
+        vo.state                          # full VOState (map, clocks)
+
+    Frames are ``Frame`` pytrees padded to cfg.max_obs (see
+    ``frame_of``).  ``checkpoint(path)`` / ``OnlineVO.resume(path, cfg)``
+    persist/restore a session (same npz format as the chunked runner).
+    """
+
+    def __init__(self, cfg: EngineConfig | None = None, seed: int = 42):
+        self.cfg = cfg or EngineConfig()
+        self._key = jax.random.PRNGKey(seed)
+        self.state: VOState | None = None
+        self._prev: Frame | None = None
+        self.frame_count = 0
+
+    def start(self, f0: Frame, f1: Frame) -> dict:
+        """Two-view bootstrap (icp_test.cpp:40-58).  Returns diagnostics."""
+        self.state, diag = bootstrap_jit(self._key, f0, f1, self.cfg)
+        self._prev = f0
+        self.frame_count = 2
+        return diag
+
+    def step(self, frame: Frame):
+        """Track one new frame; returns the (4, 4) camera-in-world pose."""
+        if self.state is None:
+            raise RuntimeError("call start(f0, f1) before step()")
+        self.state, log = track_step_jit(
+            self.state, self._prev, frame, self.cfg)
+        self._prev = frame
+        self.frame_count += 1
+        return log.pose
+
+    def checkpoint(self, path: str):
+        from tpuvo.utils.checkpoint import save_state
+
+        save_state(path, jax.tree.map(jnp.asarray, self.state),
+                   self.frame_count,
+                   extra={k: jnp.asarray(v) for k, v in {
+                       "prev_uv": self._prev.uv, "prev_desc": self._prev.desc,
+                       "prev_id_meas": self._prev.id_meas,
+                       "prev_id_real": self._prev.id_real,
+                       "prev_valid": self._prev.valid}.items()})
+
+    @classmethod
+    def resume(cls, path: str, cfg: EngineConfig | None = None,
+               seed: int = 42) -> "OnlineVO":
+        from tpuvo.utils.checkpoint import load_state
+
+        vo = cls(cfg, seed)
+        state, frame_count, extra = load_state(path)
+        vo.state = state
+        vo.frame_count = frame_count
+        vo._prev = Frame(
+            jnp.asarray(extra["prev_uv"]), jnp.asarray(extra["prev_desc"]),
+            jnp.asarray(extra["prev_id_meas"]),
+            jnp.asarray(extra["prev_id_real"]),
+            jnp.asarray(extra["prev_valid"]))
+        return vo
+
+
 def run_sequence_chunked(
     seq,
     cfg: EngineConfig | None = None,
