@@ -119,3 +119,25 @@ def test_slam_stride_evict_guard():
     seq = synthetic.render_sequence(world, gt, cfg, seed=1)
     with pytest.raises(ValueError, match="ring"):
         slam(seq, cfg)
+
+
+@pytest.mark.slow
+def test_online_slam_matches_batch():
+    """The streaming OnlineSLAM session must reproduce run_sequence_slam
+    pose-for-pose (same jitted step function, scan vs per-frame dispatch)."""
+    from tpuvo.engine.slam import OnlineSLAM
+    from tpuvo.engine import vo as _vo
+
+    cfg, gt, seq, gt_cam = _kitti_fixture(n_frames=44)
+    F = seq.uv.shape[0]
+    _, _, poses_ref, diag = run_sequence_slam(seq, cfg)
+
+    s = OnlineSLAM(cfg, max_frames=F)
+    s.start(_vo.frame_of(seq, 0), _vo.frame_of(seq, 1))
+    for i in range(1, F):
+        s.step(_vo.frame_of(seq, i))
+    # scan vs per-frame dispatch compile to different XLA programs —
+    # identical math, fp-level divergence only (measured max 4e-4)
+    np.testing.assert_allclose(
+        np.asarray(s.poses), np.asarray(poses_ref), atol=5e-3)
+    assert s.n_local_ba_runs == int(diag["n_local_ba_runs"])

@@ -85,11 +85,34 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
     bootstrap, paying ~7.5 s of recompilation per timed call (see
     ``vo.bootstrap_jit`` and DESIGN.md §10).
     """
-    K = jnp.asarray(cfg.K())
-    Fm1 = frames_curr.uv.shape[0]        # steps = F - 1
+    def step(carry, xs):
+        curr, nxt = xs
+        carry, log = slam_step(carry, curr, nxt, cfg)
+        return carry, vo._pack_log(log)
+
     N = frames_curr.uv.shape[1]
-    Kc = cfg.max_new_landmarks_per_frame
-    Nb = N + Kc                          # ring-buffer row width
+    Nb = N + cfg.max_new_landmarks_per_frame
+    R = cfg.local_ba_window * cfg.local_ba_stride
+    buf_lm = jnp.zeros((R, Nb), jnp.int32)
+    buf_valid = jnp.zeros((R, Nb), bool)
+    buf_uv = jnp.zeros((R, Nb, 2), jnp.float32)
+    (state, poses_all, _, _, _, n_ba, _), (poses_y, stats_y) = jax.lax.scan(
+        step,
+        (state, poses_all, buf_lm, buf_valid, buf_uv, jnp.int32(0),
+         jnp.int32(1)),
+        (frames_curr, frames_next))
+    return state, poses_all, vo._unpack_logs(poses_y, stats_y), n_ba
+
+
+def slam_step(carry, curr: vo.Frame, nxt: vo.Frame, cfg: EngineConfig):
+    """One SLAM step: track + ring-buffer write + conditional local BA.
+
+    carry = (state, poses_all (F, 4, 4), buf_lm (R, Nb), buf_valid,
+    buf_uv, n_ba, k); returns (carry', FrameLog).  Shared by the scanned
+    whole-sequence program (_slam_scan) and the streaming OnlineSLAM
+    session — identical math by construction.
+    """
+    K = jnp.asarray(cfg.K())
     W = cfg.local_ba_window
     E = cfg.local_ba_every
     S = cfg.local_ba_stride
@@ -132,44 +155,105 @@ def _slam_scan(state, poses_all, frames_curr: vo.Frame,
         map_xyz = jnp.where(ok, prob2.points, map_xyz)
         return map_xyz, poses_all, jnp.int32(1)
 
-    def step(carry, xs):
-        state, poses_all, buf_lm, buf_valid, buf_uv, n_ba, k = carry
-        curr, nxt = xs
-        state, log, (m_idx, m_valid, new_slots, new_uv, new_valid) = (
-            vo.track_step(state, curr, nxt, cfg, return_matches=True))
-        poses_all = poses_all.at[k].set(log.pose)
-        slot = jnp.mod(k, R)
-        buf_lm = buf_lm.at[slot].set(
-            jnp.concatenate([m_idx, new_slots]))
-        buf_valid = buf_valid.at[slot].set(
-            jnp.concatenate([m_valid, new_valid]))
-        buf_uv = buf_uv.at[slot].set(
-            jnp.concatenate([nxt.uv, new_uv], axis=0))
-        map_xyz, poses_all, ran = jax.lax.cond(
-            (k >= R) & (k % E == 0),
-            do_ba,
-            lambda c: (c[0], c[2], jnp.int32(0)),
-            (state.map_xyz, state.map_valid, poses_all, buf_lm, buf_valid,
-             buf_uv, k),
-        )
-        # poses_all[k] is log.pose when BA did not run and the BA-corrected
-        # newest pose when it did — either way the tracker resumes from it
-        state = state._replace(map_xyz=map_xyz, pose=poses_all[k])
-        # PACKED ys (vo._pack_log): same hygiene as the plain tracker —
-        # 2 stacked outputs per step instead of 12 serial
-        # dynamic-update-slice chains.
-        return (state, poses_all, buf_lm, buf_valid, buf_uv,
-                n_ba + ran, k + 1), vo._pack_log(log)
+    state, poses_all, buf_lm, buf_valid, buf_uv, n_ba, k = carry
+    state, log, (m_idx, m_valid, new_slots, new_uv, new_valid) = (
+        vo.track_step(state, curr, nxt, cfg, return_matches=True))
+    poses_all = poses_all.at[k].set(log.pose)
+    slot = jnp.mod(k, R)
+    buf_lm = buf_lm.at[slot].set(
+        jnp.concatenate([m_idx, new_slots]))
+    buf_valid = buf_valid.at[slot].set(
+        jnp.concatenate([m_valid, new_valid]))
+    buf_uv = buf_uv.at[slot].set(
+        jnp.concatenate([nxt.uv, new_uv], axis=0))
+    map_xyz, poses_all, ran = jax.lax.cond(
+        (k >= R) & (k % E == 0),
+        do_ba,
+        lambda c: (c[0], c[2], jnp.int32(0)),
+        (state.map_xyz, state.map_valid, poses_all, buf_lm, buf_valid,
+         buf_uv, k),
+    )
+    # poses_all[k] is log.pose when BA did not run and the BA-corrected
+    # newest pose when it did — either way the tracker resumes from it
+    state = state._replace(map_xyz=map_xyz, pose=poses_all[k])
+    return (state, poses_all, buf_lm, buf_valid, buf_uv,
+            n_ba + ran, k + 1), log
 
-    buf_lm = jnp.zeros((R, Nb), jnp.int32)
-    buf_valid = jnp.zeros((R, Nb), bool)
-    buf_uv = jnp.zeros((R, Nb, 2), jnp.float32)
-    (state, poses_all, _, _, _, n_ba, _), (poses_y, stats_y) = jax.lax.scan(
-        step,
-        (state, poses_all, buf_lm, buf_valid, buf_uv, jnp.int32(0),
-         jnp.int32(1)),
-        (frames_curr, frames_next))
-    return state, poses_all, vo._unpack_logs(poses_y, stats_y), n_ba
+
+from functools import partial as _partial
+
+slam_step_jit = _partial(jax.jit, static_argnames=("cfg",))(slam_step)
+
+
+class OnlineSLAM:
+    """Streaming SLAM session: OnlineVO's serving interface with the
+    interleaved local-BA backend — one ``slam_step_jit`` dispatch per
+    frame, the SAME step function the scanned whole-sequence program
+    runs, so trajectories match run_sequence_slam exactly.
+
+        s = OnlineSLAM(cfg, max_frames=1000)
+        s.start(f0, f1)
+        for frame in stream:
+            pose = s.step(frame)     # BA-corrected camera-in-world
+        s.poses[: s.frame_count]     # trajectory incl. retro-corrections
+
+    ``max_frames`` bounds the preallocated pose buffer (static shapes).
+    """
+
+    def __init__(self, cfg: EngineConfig | None = None,
+                 max_frames: int = 1024, seed: int = 42):
+        self.cfg = cfg or EngineConfig()
+        self.max_frames = max_frames
+        self._key = jax.random.PRNGKey(seed)
+        self._carry = None
+        self._prev = None
+        self.frame_count = 0
+
+    def start(self, f0: vo.Frame, f1: vo.Frame) -> dict:
+        cfg = self.cfg
+        horizon = cfg.local_ba_window * cfg.local_ba_stride + cfg.local_ba_every
+        if 0 < cfg.map_evict_age <= horizon:
+            raise ValueError(
+                f"map_evict_age={cfg.map_evict_age} must exceed the ring "
+                f"horizon {horizon} in SLAM mode")
+        state, diag = vo.bootstrap_jit(self._key, f0, f1, cfg)
+        N = f0.uv.shape[0]
+        Nb = N + cfg.max_new_landmarks_per_frame
+        R = cfg.local_ba_window * cfg.local_ba_stride
+        poses_all = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (self.max_frames, 4, 4)).copy()
+        self._carry = (
+            state, poses_all,
+            jnp.zeros((R, Nb), jnp.int32), jnp.zeros((R, Nb), bool),
+            jnp.zeros((R, Nb, 2), jnp.float32), jnp.int32(0), jnp.int32(1))
+        self._prev = f0
+        self.frame_count = 2
+        return diag
+
+    def step(self, frame: vo.Frame):
+        if self._carry is None:
+            raise RuntimeError("call start(f0, f1) before step()")
+        if int(self._carry[6]) >= self.max_frames:
+            raise RuntimeError("max_frames exceeded — raise the buffer size")
+        self._carry, log = slam_step_jit(
+            self._carry, self._prev, frame, self.cfg)
+        self._prev = frame
+        self.frame_count += 1
+        return self._carry[1][self._carry[6] - 1]
+
+    @property
+    def state(self):
+        return self._carry[0]
+
+    @property
+    def poses(self):
+        """(max_frames, 4, 4) camera-in-world, BA-corrected; rows past
+        ``frame_count - 1`` are identity padding."""
+        return self._carry[1]
+
+    @property
+    def n_local_ba_runs(self):
+        return int(self._carry[5])
 
 
 def run_sequence_slam(seq, cfg: EngineConfig | None = None, seed: int = 42
