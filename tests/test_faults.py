@@ -75,3 +75,37 @@ def test_dropped_frame_does_not_crash(clean_seq):
     assert np.isfinite(m["ate_rmse"])
     # trajectory after the gap recovers to something sane
     assert m["ate_rmse"] < 1.0
+
+
+def test_online_vo_survives_corrupt_frames():
+    """Serving robustness: an OnlineVO session fed empty and noise-bombed
+    frames mid-stream must keep the last pose (graceful degradation,
+    my_utilities.cpp:269-273 semantics) and recover on good frames."""
+    import jax.numpy as jnp
+
+    from tpuvo.config import EngineConfig, PICPConfig
+    from tpuvo.data import synthetic
+    from tpuvo.engine import vo
+
+    cfg = EngineConfig(mode="fixed", map_capacity=256, max_obs=64,
+                       picp=PICPConfig(min_matches_reuse_pose=8))
+    world = synthetic.make_world(21, n_landmarks=400, xy_extent=8.0)
+    gt = synthetic.make_planar_trajectory(14, seed=21)
+    seq = synthetic.render_sequence(world, gt, cfg, seed=21)
+    F = seq.uv.shape[0]
+
+    sess = vo.OnlineVO(cfg, seed=42)
+    sess.start(vo.frame_of(seq, 0), vo.frame_of(seq, 1))
+    last = None
+    for i in range(1, F):
+        f = vo.frame_of(seq, i)
+        if i == F // 2:  # drop every observation in this frame
+            f = f._replace(valid=jnp.zeros_like(f.valid))
+        p = np.asarray(sess.step(f))
+        assert np.all(np.isfinite(p)), i
+        if i == F // 2:
+            # starvation -> previous pose reused
+            np.testing.assert_allclose(p, last, atol=1e-6)
+        last = p
+    # the session tracked through: final pose moved past the glitch
+    assert np.linalg.norm(last[:3, 3]) > 0.1
