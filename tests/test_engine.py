@@ -168,4 +168,6 @@ def test_online_vo_matches_batch(tmp_path):
             sess = vo.OnlineVO.resume(ck, cfg, seed=42)
     np.testing.assert_allclose(
         np.stack(poses), np.asarray(poses_ref), atol=1e-5)
-    assert sess.frame_count == F + 1
+    # frame_count counts trajectory poses: identity for frame 0 + one
+    # per step
+    assert sess.frame_count == F

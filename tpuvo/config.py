@@ -242,9 +242,9 @@ class EngineConfig:
     # ordered free-slot scatter, still one one-hot MXU matmul).  Keeps the
     # active map small on long sequences: fewer descriptor aliases in the
     # matcher, and the fixed capacity stops starving new landmarks.
-    # MUST exceed local_ba_window + local_ba_every in SLAM mode (ring-
-    # buffer observations reference map slots for up to W frames;
-    # engine/slam.py validates this loudly).
+    # MUST exceed local_ba_window*local_ba_stride + local_ba_every in
+    # SLAM mode (ring-buffer observations reference map slots for up to
+    # W*S frames; engine/slam.py validates this loudly).
     map_evict_age: int = 0
     # minimum triangulation parallax (radians) between the two viewing rays:
     # low-parallax points have unobservable depth (reprojection can't catch

@@ -38,6 +38,20 @@ from tpuvo.engine import vo
 from tpuvo.ops import lie
 
 
+def _check_evict_age(cfg: EngineConfig) -> None:
+    """Ring-buffer observations reference map slots for up to W*S+E
+    frames; reusing a slot inside that horizon would silently bind old
+    observations to a NEW landmark in the local BA — fail loud.  Shared
+    by every SLAM entry point (batch and streaming)."""
+    horizon = (cfg.local_ba_window * cfg.local_ba_stride
+               + cfg.local_ba_every)
+    if 0 < cfg.map_evict_age <= horizon:
+        raise ValueError(
+            f"map_evict_age={cfg.map_evict_age} must exceed the ring "
+            f"horizon local_ba_window*local_ba_stride+local_ba_every="
+            f"{horizon} in SLAM mode")
+
+
 def _local_ba_cfg(cfg: EngineConfig) -> BAConfig:
     return BAConfig(
         window=cfg.local_ba_window,
@@ -211,11 +225,7 @@ class OnlineSLAM:
 
     def start(self, f0: vo.Frame, f1: vo.Frame) -> dict:
         cfg = self.cfg
-        horizon = cfg.local_ba_window * cfg.local_ba_stride + cfg.local_ba_every
-        if 0 < cfg.map_evict_age <= horizon:
-            raise ValueError(
-                f"map_evict_age={cfg.map_evict_age} must exceed the ring "
-                f"horizon {horizon} in SLAM mode")
+        _check_evict_age(cfg)
         state, diag = vo.bootstrap_jit(self._key, f0, f1, cfg)
         N = f0.uv.shape[0]
         Nb = N + cfg.max_new_landmarks_per_frame
@@ -227,19 +237,24 @@ class OnlineSLAM:
             jnp.zeros((R, Nb), jnp.int32), jnp.zeros((R, Nb), bool),
             jnp.zeros((R, Nb, 2), jnp.float32), jnp.int32(0), jnp.int32(1))
         self._prev = f0
-        self.frame_count = 2
+        # poses in the trajectory (frame 0's identity); +1 per step —
+        # so ``poses[: frame_count]`` is exactly the trajectory so far
+        self.frame_count = 1
         return diag
 
     def step(self, frame: vo.Frame):
         if self._carry is None:
             raise RuntimeError("call start(f0, f1) before step()")
-        if int(self._carry[6]) >= self.max_frames:
+        # guard on the HOST-side counter (== the carried k): reading the
+        # traced k back would force a device sync per frame (~26 ms on
+        # the relay) in the serving hot loop
+        if self.frame_count >= self.max_frames:
             raise RuntimeError("max_frames exceeded — raise the buffer size")
         self._carry, log = slam_step_jit(
             self._carry, self._prev, frame, self.cfg)
         self._prev = frame
         self.frame_count += 1
-        return self._carry[1][self._carry[6] - 1]
+        return self._carry[1][self.frame_count - 1]
 
     @property
     def state(self):
@@ -247,8 +262,8 @@ class OnlineSLAM:
 
     @property
     def poses(self):
-        """(max_frames, 4, 4) camera-in-world, BA-corrected; rows past
-        ``frame_count - 1`` are identity padding."""
+        """(max_frames, 4, 4) camera-in-world, BA-corrected; rows at
+        ``frame_count`` and beyond are identity padding."""
         return self._carry[1]
 
     @property
@@ -266,15 +281,7 @@ def run_sequence_slam(seq, cfg: EngineConfig | None = None, seed: int = 42
     tracking estimates for diagnostics).
     """
     cfg = cfg or EngineConfig()
-    horizon = cfg.local_ba_window * cfg.local_ba_stride + cfg.local_ba_every
-    if 0 < cfg.map_evict_age <= horizon:
-        # ring-buffer observations reference map slots for up to W*S+E
-        # frames; reusing a slot inside that horizon would silently bind
-        # old observations to a NEW landmark in the local BA — fail loud
-        raise ValueError(
-            f"map_evict_age={cfg.map_evict_age} must exceed the ring "
-            f"horizon local_ba_window*local_ba_stride+local_ba_every="
-            f"{horizon} in SLAM mode")
+    _check_evict_age(cfg)
     key = jax.random.PRNGKey(seed)
     F = seq.uv.shape[0]
 

@@ -572,10 +572,16 @@ class OnlineVO:
         self.frame_count = 0
 
     def start(self, f0: Frame, f1: Frame) -> dict:
-        """Two-view bootstrap (icp_test.cpp:40-58).  Returns diagnostics."""
+        """Two-view bootstrap (icp_test.cpp:40-58).  Returns diagnostics.
+
+        ``frame_count`` counts POSES in the trajectory: 1 after start
+        (frame 0's identity — the reference does not push the bootstrap
+        pose), +1 per ``step``.  Frame 1 is consumed twice by design —
+        by the bootstrap AND as the first tracked frame — exactly like
+        the batch pipeline (icp_test.cpp:61-75)."""
         self.state, diag = bootstrap_jit(self._key, f0, f1, self.cfg)
         self._prev = f0
-        self.frame_count = 2
+        self.frame_count = 1
         return diag
 
     def step(self, frame: Frame):

@@ -23,6 +23,22 @@ import numpy as np
 from tpuvo.engine.state import VOState
 
 
+def _backfill_vostate_fields(sdict: dict, cls) -> dict:
+    """Defaults for VOState fields added after a checkpoint was written
+    (mirrors load_state's npz shims; no-op when nothing is missing)."""
+    if cls is not VOState or set(sdict) >= set(VOState._fields):
+        return sdict
+    sdict = dict(sdict)
+    if "vel" not in sdict:
+        sdict["vel"] = np.eye(4, dtype=np.float32)
+    if "map_last_seen" not in sdict:
+        sdict["map_last_seen"] = np.zeros(
+            np.asarray(sdict["map_valid"]).shape, np.int32)
+    if "frame_idx" not in sdict:
+        sdict["frame_idx"] = np.int32(0)
+    return sdict
+
+
 def save_state(path: str, state: VOState, frame_idx: int, extra: dict | None = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {f"state_{k}": np.asarray(v) for k, v in state._asdict().items()}
@@ -106,26 +122,34 @@ class OrbaxCheckpointer:
             # on-disk structure exactly — build the full tree from the
             # checkpoint's own metadata (covers state_type / extra keys
             # the caller doesn't know about) and overlay the caller's
-            # target (shapes/dtypes/SHARDINGS) on the "state" entry
+            # target (shapes/dtypes/SHARDINGS) on the "state" entries the
+            # checkpoint actually HAS (a newer target may carry fields an
+            # old checkpoint lacks — those are backfilled after restore)
             meta = self._mgr.item_metadata(step)
             item = jax.tree.map(
                 lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), dict(meta))
-            item["state"] = tdict
+            item["state"] = {
+                k: tdict.get(k, v) for k, v in dict(item["state"]).items()}
             args = ocp.args.StandardRestore(item)
         out = self._mgr.restore(step, args=args)
         extra = out.get("extra", {})
-        sdict = out["state"]
+        sdict = dict(out["state"])
         if target is not None and hasattr(target, "_asdict"):
+            sdict = _backfill_vostate_fields(sdict, type(target))
             return type(target)(**sdict), extra
         saved_type = out.get("state_type")
         if saved_type is not None:
             saved_type = bytes(
                 np.asarray(saved_type, dtype=np.uint8)).decode()
-        else:  # pre-tag checkpoints: legacy key-set sniff
+        else:
+            # pre-tag checkpoints: legacy key-set sniff — accept VOStates
+            # saved before the lifecycle fields (backfilled below)
+            core = set(VOState._fields) - {"vel", "map_last_seen", "frame_idx"}
             saved_type = ("VOState"
-                          if set(sdict) == set(VOState._fields) else None)
+                          if core <= set(sdict) <= set(VOState._fields)
+                          else None)
         if target is None and saved_type == "VOState":
-            return VOState(**sdict), extra
+            return VOState(**_backfill_vostate_fields(sdict, VOState)), extra
         return sdict, extra
 
     def latest_step(self):

@@ -41,8 +41,13 @@ def validate_state(state) -> None:
         raise StateValidationError(f"pose rotation det {np.linalg.det(R):.4f} != 1")
     count = int(state.map_count)
     valid = np.asarray(state.map_valid)
-    if valid[:count].sum() != count or valid[count:].any():
-        raise StateValidationError("map_valid inconsistent with map_count")
+    # map_count = occupancy.  With the landmark lifecycle
+    # (EngineConfig.map_evict_age) evicted slots leave holes mid-map, so
+    # the valid set need not be a prefix — only the occupancy count and
+    # the capacity bound are invariants.
+    if valid.sum() != count:
+        raise StateValidationError(
+            f"map_valid occupancy {int(valid.sum())} != map_count {count}")
     if not np.all(np.isfinite(np.asarray(state.map_xyz)[valid])):
         raise StateValidationError("non-finite landmark in map")
 
