@@ -28,8 +28,21 @@ CPP_BASELINE_FPS = 3584.35
 
 
 def main():
+    # Persistent XLA compilation cache: bench compiles 6+ programs at
+    # 30-90 s each over the relay; caching makes repeat runs start in
+    # seconds AND pins the run to one compiled binary (per-compile
+    # autotuning differences moved the latency median by ~10% between
+    # otherwise identical runs).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/tpuvo_jax_cache")
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass  # older jax without the config knob: env var alone suffices
 
     from tpuvo.config import EngineConfig
     from tpuvo.data import load_sequence

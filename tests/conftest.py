@@ -69,3 +69,16 @@ def pytest_configure(config):
             )
         except (OSError, subprocess.SubprocessError):
             pass
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """The full suite compiles hundreds of XLA programs in one process;
+    letting executables accumulate exhausted memory far enough that the
+    CPU compiler itself segfaulted (observed at ~50% of the -m '' run).
+    Dropping the caches at module boundaries bounds the footprint; each
+    module still shares compilations internally."""
+    yield
+    import jax
+
+    jax.clear_caches()
