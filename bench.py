@@ -273,6 +273,12 @@ def main():
         cfg_slam = EngineConfig(
             mode="fixed", n_frames=sf, map_capacity=scap,
             fuse_frame_matchers=True,
+            # the 8192-slot map is the Pallas matcher's operating point
+            # (3x the XLA path per match; +12% plain-tracker fps,
+            # bit-identical trajectories); CPU smoke keeps the MXU path
+            matcher=MatcherConfig(method=os.environ.get(
+                "TPUVO_BENCH_SLAM_MATCHER",
+                "pallas" if jax.default_backend() != "cpu" else "mxu")),
             picp=PICPConfig(convergence_threshold=1e-4),
             ba=dataclasses.replace(EngineConfig().ba, max_landmarks=scap),
         )
