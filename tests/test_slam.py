@@ -141,3 +141,28 @@ def test_online_slam_matches_batch():
     np.testing.assert_allclose(
         np.asarray(s.poses), np.asarray(poses_ref), atol=5e-3)
     assert s.n_local_ba_runs == int(diag["n_local_ba_runs"])
+
+
+@pytest.mark.slow
+def test_online_slam_strided():
+    """Streaming session with the keyframe-strided window (the
+    long-sequence profile): must match the batch strided run."""
+    from tpuvo.engine.slam import OnlineSLAM
+    from tpuvo.engine import vo as _vo
+
+    cfg, gt, seq, gt_cam = _kitti_fixture(n_frames=40)
+    cfg = cfg.replace(local_ba_window=8, local_ba_stride=2)
+    F = seq.uv.shape[0]
+    _, _, poses_ref, diag = run_sequence_slam(seq, cfg)
+
+    s = OnlineSLAM(cfg, max_frames=F)
+    s.start(_vo.frame_of(seq, 0), _vo.frame_of(seq, 1))
+    for i in range(1, F):
+        s.step(_vo.frame_of(seq, i))
+    # scan vs per-frame programs differ at fp level; the strided BA's
+    # drift-correction feedback amplifies that more than S=1 (measured
+    # max 0.025 on this chaotic fixture) — identical structure, not a
+    # logic divergence (BA run counts match exactly)
+    np.testing.assert_allclose(
+        np.asarray(s.poses), np.asarray(poses_ref), atol=0.05)
+    assert s.n_local_ba_runs == int(diag["n_local_ba_runs"])
