@@ -202,6 +202,21 @@ def main():
     lat_reps = int(os.environ.get("TPUVO_BENCH_LAT_REPS", "21"))
     run_once()
     run_once()  # 2 untimed reps re-warm the relay after the eval transfer
+    # Measure the relay dispatch floor IN THIS RUN (a trivial jitted op,
+    # same per-rep sync discipline): the tunnel's round-trip is ~26 ms of
+    # the ~29 ms single-stream wall and drifts +-15% between runs with an
+    # identical cached binary — recording the floor makes any latency
+    # record attributable between the tunnel and the program.  The raw
+    # wall number remains the recorded latency_vs_baseline.
+    trivial = jax.jit(lambda x: x + 1.0)
+    xf = jnp.zeros((8, 128), jnp.float32)
+    np.asarray(trivial(xf))  # warm + drain
+    floor_ts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trivial(xf))
+        floor_ts.append(time.perf_counter() - t0)
+    relay_floor_s = sorted(floor_ts)[len(floor_ts) // 2]
     lat_times = []
     for _ in range(lat_reps):
         t0 = time.perf_counter()
@@ -340,6 +355,11 @@ def main():
             "latency_fps_min": round(lat_fps_all[0], 1),
             "latency_fps_max": round(lat_fps_all[-1], 1),
             "latency_reps": lat_reps,
+            # tunnel-vs-program decomposition (see comment at the floor
+            # measurement): on-device estimate = wall minus relay floor
+            "relay_floor_ms": round(1e3 * relay_floor_s, 2),
+            "fps_latency_ondevice_est": round(
+                F / max(F / fps_latency - relay_floor_s, 1e-6), 1),
             "latency_accuracy_ok": latency_accuracy_ok,
             "latency_ate_rmse": round(acc_lat["ate_rmse"], 4),
             "fps_throughput_batch": round(fps_throughput, 1),
